@@ -1,0 +1,100 @@
+"""Benchmark harness: end-to-end SRPS solve on the Mitten fixture, SF=2.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no numeric benchmark values (BASELINE.md), so
+the baseline is self-measured: BASELINE_SECONDS below is the round-1
+measurement of this framework's own fused solve on a single TPU v5e chip;
+vs_baseline = BASELINE_SECONDS / measured (>1 = faster than round 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Round-1 self-measured fused-solve wall time (s) on one TPU v5e chip,
+# Mitten 1280x960, 20 images, SF=2, reference solver constants.
+BASELINE_SECONDS = 1.571
+
+MITTEN = "/root/reference/dataset/Images/Mitten"
+
+
+def find_dataset():
+    if os.path.isdir(MITTEN):
+        return MITTEN
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dataset", "Mitten")
+    if os.path.isdir(here):
+        return here
+    return None
+
+
+def synthetic_dataset(h=960, w=1280, sf=2, n=20, c=3):
+    """Fallback workload with the Mitten geometry when the fixture is
+    unavailable."""
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.io.image_loader import ProblemData
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - h / 2) ** 2 + (xx - w / 2) ** 2) < (0.4 * min(h, w)) ** 2
+            ).astype(np.float32)
+    I = rng.random((n, c, h, w)).astype(np.float32)
+    z0 = (rng.random((n, h // sf, w // sf)).astype(np.float32) + 1.0) * 4000.0
+    K = np.array([[1216.73, 0, w / 2 - 0.5], [0, 1216.73, h / 2 - 0.5],
+                  [0, 0, 1]], np.float32)
+    return ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
+
+
+def main():
+    import jax
+
+    from srmeetsps_cuda_tpu.config import SolverConfig
+    from srmeetsps_cuda_tpu.models import srps
+    from srmeetsps_cuda_tpu.runtime.solver import prepare, _jit_solve_fused
+
+    ds = find_dataset()
+    if ds:
+        from srmeetsps_cuda_tpu.io.image_loader import load_image_dataset
+
+        data = load_image_dataset(ds)
+    else:
+        data = synthetic_dataset()
+
+    cfg = SolverConfig()
+    sf = int(data.sf)
+    prob, state0 = prepare(data, cfg)
+
+    # Warm-up: compile + one full solve.
+    final, trace = _jit_solve_fused(state0, prob, sf, cfg)
+    jax.block_until_ready(final.z)
+
+    # Timed runs.
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        final, trace = _jit_solve_fused(state0, prob, sf, cfg)
+        jax.block_until_ready(final.z)
+    dt = (time.perf_counter() - t0) / runs
+
+    solves_per_sec = 1.0 / dt
+    result = {
+        "metric": "mitten_sf2_e2e_solve",
+        "value": round(solves_per_sec, 4),
+        "unit": "solves/sec",
+        "vs_baseline": round(BASELINE_SECONDS / dt, 3),
+        "seconds_per_solve": round(dt, 4),
+        "iterations": int(final.iteration),
+        "final_energy": float(final.energy),
+        "device": str(jax.devices()[0]),
+        "dataset": ds or "synthetic",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

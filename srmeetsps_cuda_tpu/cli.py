@@ -1,0 +1,109 @@
+"""Command-line interface, matching the reference binary's surface
+(Main.cpp:9-44):
+
+  --dstype {matlab,images}   dataset type (default: matlab)
+  --dsloc PATH               path to .mat file or image folder (required)
+  --device N                 accepted for parity; selects jax device index
+  --blockx N / --blocky N    accepted for parity; no-ops on TPU (XLA owns
+                             launch geometry)
+
+plus TPU-era extensions (solver constants, dumps, fused mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from .config import RuntimeConfig, SolverConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="srmeetsps-tpu",
+        description="Depth Super-Resolution Meets Uncalibrated Photometric "
+        "Stereo — TPU-native solver",
+    )
+    # Reference-parity flags (Main.cpp:10-17).
+    p.add_argument("--dstype", "-t", choices=["matlab", "images"], default="matlab")
+    p.add_argument("--dsloc", "-d", help="path to dataset mat file or image folder")
+    p.add_argument("--device", "-g", type=int, default=0,
+                   help="device index (parity flag)")
+    p.add_argument("--blockx", "-x", type=int, default=256,
+                   help="block dimension x (parity flag; unused on TPU)")
+    p.add_argument("--blocky", "-y", type=int, default=4,
+                   help="block dimension y (parity flag; unused on TPU)")
+    # Solver constants (defaults = reference hard-coded values).
+    p.add_argument("--tolerance", type=float, default=5e-3)
+    p.add_argument("--max-iterations", type=int, default=10)
+    p.add_argument("--cg-tol", type=float, default=1e-9)
+    p.add_argument("--cg-max-iter", type=int, default=100)
+    p.add_argument("--lambda", dest="lam", type=float, default=1.0)
+    p.add_argument("--jacobi", action="store_true",
+                   help="Jacobi-preconditioned depth CG (faster; the "
+                   "reference uses plain CG)")
+    # Runtime.
+    p.add_argument("--fused", action="store_true",
+                   help="run the whole outer loop on-device (no per-iteration "
+                   "host sync)")
+    p.add_argument("--dump", action="store_true",
+                   help="dump s/rho/z/N each iteration (reference behaviour)")
+    p.add_argument("--dump-dir", default=".")
+    p.add_argument("--dump-format", choices=["mat", "npz"], default="mat")
+    p.add_argument("--viz", action="store_true",
+                   help="save PNG visualizations (replaces cv::imshow)")
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--resume-from", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.dsloc:
+        parser.print_help()
+        return 0
+
+    import jax
+
+    devs = jax.devices()
+    if args.device and args.device < len(devs):
+        jax.config.update("jax_default_device", devs[args.device])
+
+    if args.dstype == "matlab":
+        from .io.mat_loader import load_mat_dataset
+
+        data = load_mat_dataset(args.dsloc)
+    else:
+        from .io.image_loader import load_image_dataset
+
+        data = load_image_dataset(args.dsloc)
+
+    cfg = SolverConfig(
+        tolerance=args.tolerance,
+        max_iterations=args.max_iterations,
+        cg_tol=args.cg_tol,
+        cg_max_iter=args.cg_max_iter,
+        lam=args.lam,
+        jacobi_preconditioner=args.jacobi,
+    )
+    rt = RuntimeConfig(
+        dump_iterations=args.dump,
+        dump_dir=args.dump_dir,
+        dump_format=args.dump_format,
+        save_visualizations=args.viz,
+        metrics_jsonl=args.metrics_jsonl,
+        resume_from=args.resume_from,
+        fused_outer_loop=args.fused,
+    )
+
+    from .runtime.solver import solve
+
+    solve(data, cfg, rt, verbose=True)
+    print("Done!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,440 @@
+"""SRmeetsPS model: the three alternating least-squares estimators.
+
+This is a ground-up TPU-native redesign of the reference solver
+(SRPS.cu:276-335 + devicecalls.cu), exploiting structure the CUDA version
+leaves on the table:
+
+* **Lighting** (devicecalls.cu:408-444): the reference solves each of the
+  ``n*c`` 4x4 normal-equation systems with sparse CG, incl. 16 device-pointer
+  round-trips per system. Here: two MXU GEMMs build all Gram matrices /
+  right-hand sides at once, then one batched 4x4 ``linalg.solve``. Note
+  ``A^T A`` is per-channel only (independent of the image index), so just
+  ``c`` Gram matrices are formed.
+
+* **Albedo** (devicecalls.cu:497-548): the reference expands per-image
+  shading into a ``(npix*n) x npix`` sparse matrix and runs CG — but that
+  operator is *diagonal* per pixel, so the normal equations have the
+  closed-form per-pixel solution ``rho = sum_i sh_i I_i / sum_i sh_i^2``
+  (CG's converged fixed point). Both sums collapse onto the lighting Gram
+  ``G_c = sum_i s s^T`` and the correlation images ``J = sum_i s_k I_i`` —
+  no ``(n, h, w)`` intermediate at all.
+
+* **Depth** (devicecalls.cu:636-786): the reference materialises the
+  ``(npix*n*c) x npix`` sparse operator ``A = [diag(A1)Dx + diag(A2)Dy -
+  diag(A3)]`` and its explicit ``A^T A`` via spgemm chains, then runs CG
+  with SpMV over ~5*n*c*npix nonzeros per iteration. Because the row blocks
+  share the two stencils ``Dx, Dy``, the normal matrix collapses to
+
+      A^T A = Dx' P11 Dx + Dx' P12 Dy + Dy' P12 Dx + Dy' P22 Dy
+            - Dx' P13 - P13 Dx - Dy' P23 - P23 Dy + P33
+
+  with six precomputable per-pixel Gram coefficient fields ``P..`` (sums
+  over channels x images of products of ``A1, A2, A3``), which themselves
+  reduce to the tiny per-channel lighting Gram ``G_c`` and closed-form
+  combinations with ``xx, yy`` — the ``(c, n, h, w)`` coefficient tensors
+  are never materialised. Each CG iteration is then O(npix): two 2-point
+  stencils, a handful of fused elementwise ops, and one box resample —
+  instead of the reference's giant SpMV. The rhs and the energy use the
+  same collapse (correlation fields ``QB1..QB3`` and scalar moments).
+
+All state lives on dense ``(h, w)`` grids, zeroed outside the mask, so every
+reduction is masked-exact and all shapes are static for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SolverConfig
+from ..ops import gradients as gradops
+from ..ops import grid as gridops
+from ..ops.gradients import GradientMasks
+from ..ops.normals import normals_from_depth
+from ..solve.cg import CGResult, conjugate_gradient
+
+HI = lax.Precision.HIGHEST
+
+
+class SRPSProblem(NamedTuple):
+    """Static problem data (device arrays). Shapes: I (n,c,h,w); mask (h,w);
+    masks (h/sf, w/sf); z0s like masks; xx/yy (h,w); SI2 (c,h,w)."""
+
+    I: jax.Array
+    mask: jax.Array
+    masks: jax.Array
+    z0s: jax.Array
+    xx: jax.Array
+    yy: jax.Array
+    fx: jax.Array
+    fy: jax.Array
+    gm: GradientMasks
+    SI2: jax.Array  # sum_i I^2, per channel — energy constant term
+
+
+class SRPSState(NamedTuple):
+    """Optimisation state. z (h,w); rho (c,h,w); s (n,c,4); N (4,h,w);
+    dz (h,w); energy/last_energy scalars; iteration counter."""
+
+    z: jax.Array
+    rho: jax.Array
+    s: jax.Array
+    N: jax.Array
+    dz: jax.Array
+    energy: jax.Array
+    last_energy: jax.Array
+    iteration: jax.Array
+    cg_iters: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Problem / state construction
+# ---------------------------------------------------------------------------
+
+
+def build_problem(I, mask, K, sf: int, z0s) -> SRPSProblem:
+    """Assemble the device-side problem container.
+
+    Args:
+      I: (n, c, h, w) images (will be zeroed outside the mask — the
+         reference gathers only masked pixels, SRPS.cu:222-234).
+      mask: (h, w) binary HR mask.
+      K: (3, 3) intrinsics (fx=K[0,0], fy=K[1,1], cx=K[0,2], cy=K[1,2]).
+      sf: integer scale factor.
+      z0s: (h/sf, w/sf) preprocessed LR depth (masked).
+    """
+    mask = (jnp.asarray(mask) != 0).astype(jnp.float32)
+    h, w = mask.shape
+    I = jnp.asarray(I, jnp.float32) * mask
+    masks = gridops.lr_mask(mask, sf)
+    xx, yy = gridops.meshgrid_camera(h, w, float(K[0][2]), float(K[1][2]))
+    xx = xx * mask
+    yy = yy * mask
+    SI2 = jnp.einsum("nchw->chw", I * I)
+    return SRPSProblem(
+        I=I,
+        mask=mask,
+        masks=masks,
+        z0s=jnp.asarray(z0s, jnp.float32) * masks,
+        xx=xx,
+        yy=yy,
+        fx=jnp.float32(K[0][0]),
+        fy=jnp.float32(K[1][1]),
+        gm=GradientMasks.from_mask(mask),
+        SI2=SI2,
+    )
+
+
+def init_state(prob: SRPSProblem, z_init) -> SRPSState:
+    """Initial state mirroring SRPS.cu:206-270: s = [0,0,-1,0] per
+    (image, channel), rho = 0.5 on the mask, normals from the initial z."""
+    n, c, h, w = prob.I.shape
+    s = jnp.zeros((n, c, 4), jnp.float32).at[:, :, 2].set(-1.0)
+    rho = jnp.broadcast_to(0.5 * prob.mask, (c, h, w))
+    z = jnp.asarray(z_init, jnp.float32) * prob.mask
+    zx = gradops.grad_x(z, prob.gm)
+    zy = gradops.grad_y(z, prob.gm)
+    N, dz = normals_from_depth(z, zx, zy, prob.xx, prob.yy, prob.mask, prob.fx, prob.fy)
+    return SRPSState(
+        z=z,
+        rho=rho,
+        s=s,
+        N=N,
+        dz=dz,
+        energy=jnp.float32(jnp.nan),
+        last_energy=jnp.float32(jnp.nan),
+        iteration=jnp.int32(0),
+        cg_iters=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lighting estimation
+# ---------------------------------------------------------------------------
+
+
+def estimate_lighting(prob: SRPSProblem, rho, N) -> jax.Array:
+    """Per-(image, channel) first-order SH lighting least squares.
+
+    Minimises ||diag(rho_c) N s - I_ic||^2 over masked pixels. The
+    reference's warm-started exact-tolerance CG on the 4x4 normal equations
+    converges to the same solution (devicecalls.cu:408-444).
+    """
+    n, c, h, w = prob.I.shape
+    T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
+    If = prob.I.reshape(n, c, h * w)
+    ATA = jnp.einsum("cap,cbp->cab", T, T, precision=HI)  # (c,4,4)
+    ATb = jnp.einsum("cap,ncp->nca", T, If, precision=HI)  # (n,c,4)
+    ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
+    return jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Shared s-moment computation (feeds albedo AND depth)
+# ---------------------------------------------------------------------------
+
+
+class SMoments(NamedTuple):
+    G: jax.Array  # (c, 4, 4)   sum_i s_ic s_ic^T
+    J: jax.Array  # (c, 4, h, w) sum_i s[i,c,k] * I[i,c]
+
+
+def s_moments(prob: SRPSProblem, s) -> SMoments:
+    n, c, h, w = prob.I.shape
+    G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
+    J = jnp.einsum(
+        "nck,ncp->ckp", s, prob.I.reshape(n, c, h * w), precision=HI
+    ).reshape(c, 4, h, w)
+    return SMoments(G, J)
+
+
+# ---------------------------------------------------------------------------
+# Albedo estimation
+# ---------------------------------------------------------------------------
+
+
+def estimate_albedo(prob: SRPSProblem, mom: SMoments, N, rho_prev) -> jax.Array:
+    """Closed-form per-pixel albedo (the diagonal normal equations'
+    exact solution; devicecalls.cu:497-548). Where no image constrains a
+    pixel (zero diagonal) the previous albedo is kept — matching CG's
+    zero-correction behaviour on a zero row."""
+    num = jnp.einsum("khw,ckhw->chw", N, mom.J, precision=HI)
+    # den = sum_kl G_ckl N_k N_l, split into two 2-operand contractions
+    # (3-operand einsum lowers poorly).
+    GN = jnp.einsum("ckl,lhw->ckhw", mom.G, N, precision=HI)
+    den = jnp.einsum("ckhw,khw->chw", GN, N, precision=HI)
+    rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rho_prev)
+    return rho * prob.mask
+
+
+# ---------------------------------------------------------------------------
+# Depth estimation
+# ---------------------------------------------------------------------------
+
+
+class DepthOperator(NamedTuple):
+    """Per-outer-iteration collapsed coefficient fields (all (h, w))."""
+
+    P11: jax.Array
+    P12: jax.Array
+    P13: jax.Array
+    P22: jax.Array
+    P23: jax.Array
+    P33: jax.Array
+    QB1: jax.Array
+    QB2: jax.Array
+    QB3: jax.Array
+    const: jax.Array  # scalar: sum B^2
+
+
+def build_depth_operator(
+    prob: SRPSProblem, mom: SMoments, rho, dz, lam: float
+) -> DepthOperator:
+    """Collapse sum over (c, i) of the per-row coefficients into Gram fields.
+
+    With u1 = fx s1 - xx s3, u2 = fy s2 - yy s3, u3 = s3 and
+    A_k = (rho_c/dz) u_k (devicecalls.cu:583-599), all pairwise sums over
+    images reduce to the s-Gram G_c; the I-correlations reduce to J.
+    """
+    fx, fy, xx, yy = prob.fx, prob.fy, prob.xx, prob.yy
+    G = mom.G
+    w2 = (rho / dz) ** 2  # (c,h,w)
+    w1 = rho / dz
+
+    def gsum(expr):  # sum over channels of w2 * expr(c)
+        return jnp.einsum("chw,chw->hw", w2, expr)
+
+    # Per-channel scalar moments (broadcast against fields).
+    g = lambda k, l: G[:, k, l][:, None, None]  # (c,1,1)
+
+    P11 = gsum(fx * fx * g(0, 0) - 2.0 * fx * xx * g(0, 2) + xx * xx * g(2, 2))
+    P22 = gsum(fy * fy * g(1, 1) - 2.0 * fy * yy * g(1, 2) + yy * yy * g(2, 2))
+    P33 = gsum(g(2, 2) * jnp.ones_like(xx))
+    P12 = gsum(
+        fx * fy * g(0, 1) - fx * yy * g(0, 2) - fy * xx * g(1, 2) + xx * yy * g(2, 2)
+    )
+    P13 = gsum(fx * g(0, 2) - xx * g(2, 2))
+    P23 = gsum(fy * g(1, 2) - yy * g(2, 2))
+
+    # B-correlations: B_ic = I_ic - rho_c s4  =>  sums collapse on J and G.
+    J = mom.J  # (c,4,h,w)
+    QB1 = jnp.einsum(
+        "chw,chw->hw", w1, fx * (J[:, 0] - rho * g(0, 3)) - xx * (J[:, 2] - rho * g(2, 3))
+    )
+    QB2 = jnp.einsum(
+        "chw,chw->hw", w1, fy * (J[:, 1] - rho * g(1, 3)) - yy * (J[:, 2] - rho * g(2, 3))
+    )
+    QB3 = jnp.einsum("chw,chw->hw", w1, J[:, 2] - rho * g(2, 3))
+    const = jnp.sum(prob.SI2 - 2.0 * rho * J[:, 3] + rho * rho * g(3, 3))
+
+    return DepthOperator(P11, P12, P13, P22, P23, P33, QB1, QB2, QB3, const)
+
+
+def depth_matvec(v, op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
+    """``M v = KT^T KT v + lam * A^T A v`` — O(npix), fully fused."""
+    gm = prob.gm
+    g = gradops.grad_x(v, gm)
+    h = gradops.grad_y(v, gm)
+    t1 = op.P11 * g + op.P12 * h - op.P13 * v
+    t2 = op.P12 * g + op.P22 * h - op.P23 * v
+    t3 = op.P13 * g + op.P23 * h - op.P33 * v
+    ata = gradops.grad_x_t(t1, gm) + gradops.grad_y_t(t2, gm) - t3
+    kt = gridops.resample_masked(v, prob.masks, sf)
+    ktt = gridops.resample_masked_t(kt, prob.mask, prob.masks, sf)
+    return ktt + lam * ata
+
+
+def depth_rhs(op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
+    """``rhs = KT^T z0s + lam * A^T B`` (devicecalls.cu:743-745)."""
+    atb = (
+        gradops.grad_x_t(op.QB1, prob.gm)
+        + gradops.grad_y_t(op.QB2, prob.gm)
+        - op.QB3
+    )
+    return gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf) + lam * atb
+
+
+def depth_diag(op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
+    """Diagonal of M, for Jacobi preconditioning."""
+    gm = prob.gm
+    sigx = gm.bwd_x - gm.fwd_x  # Dx(p,p)
+    sigy = gm.bwd_y - gm.fwd_y
+    from ..ops.gradients import _shift_left, _shift_right, _shift_up, _shift_down
+
+    dxx = (
+        op.P11 * (gm.fwd_x + gm.bwd_x)
+        + _shift_right(op.P11 * gm.fwd_x)
+        + _shift_left(op.P11 * gm.bwd_x)
+    )
+    dyy = (
+        op.P22 * (gm.fwd_y + gm.bwd_y)
+        + _shift_down(op.P22 * gm.fwd_y)
+        + _shift_up(op.P22 * gm.bwd_y)
+    )
+    cross = 2.0 * op.P12 * sigx * sigy
+    lin = -2.0 * op.P13 * sigx - 2.0 * op.P23 * sigy
+    ata_diag = dxx + dyy + cross + lin + op.P33
+    hl, wl = prob.masks.shape
+    kt_diag = (
+        jnp.broadcast_to(
+            prob.masks[:, None, :, None], (hl, sf, wl, sf)
+        ).reshape(hl * sf, wl * sf)
+        * prob.mask
+        / float(sf**4)
+    )
+    d = kt_diag + lam * ata_diag
+    return jnp.where(d > 0, d, 1.0)
+
+
+def estimate_depth(
+    prob: SRPSProblem,
+    mom: SMoments,
+    rho,
+    dz,
+    z,
+    sf: int,
+    cfg: SolverConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Warm-started CG depth solve + energy (devicecalls.cu:636-786).
+
+    Returns (z_new, energy, cg_iterations).
+    """
+    lam = cfg.lam
+    op = build_depth_operator(prob, mom, rho, dz, lam)
+    matvec = partial(depth_matvec, op=op, prob=prob, sf=sf, lam=lam)
+    rhs = depth_rhs(op, prob, sf, lam)
+    b_res = rhs - matvec(z)
+    precond = None
+    if cfg.jacobi_preconditioner:
+        diag = depth_diag(op, prob, sf, lam)
+        precond = lambda r: r / diag
+    res = conjugate_gradient(
+        lambda v: matvec(v),
+        b_res,
+        z,
+        tol=cfg.cg_tol,
+        max_iter=cfg.cg_max_iter,
+        precond=precond,
+    )
+    z_new = res.x * prob.mask
+
+    # Energy || KT z - z0s ||^2 + lam || A z - B ||^2 via the same collapse.
+    g = gradops.grad_x(z_new, prob.gm)
+    h = gradops.grad_y(z_new, prob.gm)
+    e_data = (
+        jnp.sum(op.P11 * g * g + op.P22 * h * h + op.P33 * z_new * z_new)
+        + 2.0 * jnp.sum(op.P12 * g * h - op.P13 * g * z_new - op.P23 * h * z_new)
+        - 2.0 * jnp.sum(op.QB1 * g + op.QB2 * h - op.QB3 * z_new)
+        + op.const
+    )
+    r1 = gridops.resample_masked(z_new, prob.masks, sf) - prob.z0s
+    energy = jnp.sum(r1 * r1) + lam * e_data
+    return z_new, energy, res.iterations
+
+
+# ---------------------------------------------------------------------------
+# One outer iteration
+# ---------------------------------------------------------------------------
+
+
+def srps_iteration(state: SRPSState, prob: SRPSProblem, sf: int, cfg: SolverConfig) -> SRPSState:
+    """Lighting -> albedo -> depth -> normals (SRPS.cu:276-335 body)."""
+    s = estimate_lighting(prob, state.rho, state.N)
+    mom = s_moments(prob, s)
+    rho = estimate_albedo(prob, mom, state.N, state.rho)
+    z, energy, cg_iters = estimate_depth(prob, mom, rho, state.dz, state.z, sf, cfg)
+    zx = gradops.grad_x(z, prob.gm)
+    zy = gradops.grad_y(z, prob.gm)
+    N, dz = normals_from_depth(z, zx, zy, prob.xx, prob.yy, prob.mask, prob.fx, prob.fy)
+    return SRPSState(
+        z=z,
+        rho=rho,
+        s=s,
+        N=N,
+        dz=dz,
+        energy=energy,
+        last_energy=state.energy,
+        iteration=state.iteration + 1,
+        cg_iters=cg_iters,
+    )
+
+
+def should_stop(state: SRPSState, cfg: SolverConfig) -> jax.Array:
+    """Stopping rule with the reference's exact NaN semantics
+    (SRPS.cu:297-301): stop on energy increase, relative tolerance, or
+    iteration cap; first iteration never stops (NaN comparisons false)."""
+    err, last = state.energy, state.last_energy
+    rel = jnp.abs(last - err) / jnp.abs(err)
+    inc = err > last  # false when last is NaN
+    tol = rel < cfg.tolerance  # false when rel is NaN
+    cap = state.iteration > cfg.max_iterations
+    return inc | tol | cap
+
+
+def solve_fused(
+    state: SRPSState, prob: SRPSProblem, sf: int, cfg: SolverConfig
+) -> Tuple[SRPSState, jax.Array]:
+    """Whole outer loop inside one on-device ``lax.while_loop`` — zero host
+    synchronisation for the entire solve. Returns the final state and the
+    per-iteration energy trace (NaN-padded, length max_iterations + 2)."""
+    trace_len = cfg.max_iterations + 2
+
+    def cond(carry):
+        st, _ = carry
+        return ~should_stop(st, cfg) | (st.iteration == 0)
+
+    def body(carry):
+        st, trace = carry
+        st = srps_iteration(st, prob, sf, cfg)
+        trace = trace.at[st.iteration - 1].set(st.energy)
+        return st, trace
+
+    trace0 = jnp.full((trace_len,), jnp.nan, jnp.float32)
+    # First iteration always runs (NaN energies make should_stop false).
+    final, trace = lax.while_loop(cond, body, (state, trace0))
+    return final, trace
