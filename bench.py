@@ -16,8 +16,9 @@ import sys
 import time
 
 # Round-1 self-measured fused-solve wall time (s) on one TPU v5e chip,
-# Mitten 1280x960, 20 images, SF=2, reference solver constants.
-BASELINE_SECONDS = 1.571
+# Mitten 1280x960, 20 images, SF=2, reference solver constants
+# (pure-jnp CG path, before the fused Pallas kernels).
+BASELINE_SECONDS = 1.22
 
 MITTEN = "/root/reference/dataset/Images/Mitten"
 
@@ -69,16 +70,19 @@ def main():
     sf = int(data.sf)
     prob, state0 = prepare(data, cfg)
 
-    # Warm-up: compile + one full solve.
+    import numpy as np
+
+    # Warm-up: compile + one full solve. NOTE: block_until_ready does not
+    # reliably block through the remote-TPU tunnel; force a host transfer.
     final, trace = _jit_solve_fused(state0, prob, sf, cfg)
-    jax.block_until_ready(final.z)
+    float(np.asarray(final.z).sum())
 
     # Timed runs.
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         final, trace = _jit_solve_fused(state0, prob, sf, cfg)
-        jax.block_until_ready(final.z)
+        float(np.asarray(final.z).sum())
     dt = (time.perf_counter() - t0) / runs
 
     solves_per_sec = 1.0 / dt

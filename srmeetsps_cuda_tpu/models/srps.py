@@ -349,18 +349,27 @@ def estimate_depth(
     matvec = partial(depth_matvec, op=op, prob=prob, sf=sf, lam=lam)
     rhs = depth_rhs(op, prob, sf, lam)
     b_res = rhs - matvec(z)
-    precond = None
-    if cfg.jacobi_preconditioner:
-        diag = depth_diag(op, prob, sf, lam)
-        precond = lambda r: r / diag
-    res = conjugate_gradient(
-        lambda v: matvec(v),
-        b_res,
-        z,
-        tol=cfg.cg_tol,
-        max_iter=cfg.cg_max_iter,
-        precond=precond,
-    )
+    if cfg.use_pallas:
+        from ..solve.pallas_cg import cg_pallas, make_ktw
+
+        ktw = make_ktw(prob.mask, prob.masks, sf)
+        x, iters, _ = cg_pallas(
+            z, b_res, op, prob.gm, ktw, sf=sf, lam=lam,
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+        res = CGResult(x, iters, jnp.float32(0.0))
+    else:
+        precond = None
+        if cfg.jacobi_preconditioner:
+            diag = depth_diag(op, prob, sf, lam)
+            precond = lambda r: r / diag
+        res = conjugate_gradient(
+            lambda v: matvec(v),
+            b_res,
+            z,
+            tol=cfg.cg_tol,
+            max_iter=cfg.cg_max_iter,
+            precond=precond,
+        )
     z_new = res.x * prob.mask
 
     # Energy || KT z - z0s ||^2 + lam || A z - B ||^2 via the same collapse.

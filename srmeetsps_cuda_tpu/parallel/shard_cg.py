@@ -1,0 +1,165 @@
+"""Manual shard_map grid-sharded CG with explicit halo exchange.
+
+The GSPMD path (parallel/sharded.py) lets the XLA partitioner insert halo
+exchanges for the +/-1 stencils automatically. This module is the
+hand-scheduled alternative (BASELINE.json config 5: "1080p depth SR with
+grid-sharded PCG (halo-exchange matvec over mesh)"), tuned to the minimum
+possible communication:
+
+  - the HR grid is partitioned over a 1D mesh axis in row bands (band
+    heights multiples of sf, so the box-resample term never crosses a
+    shard boundary; x-direction stencils are band-local by construction),
+  - the static coefficient fields' one-row halos are exchanged ONCE per
+    solve (a single stacked ppermute pair),
+  - per CG iteration the only communication is ONE exchange of v's
+    two-row halos (2 ppermutes) — the matvec is then evaluated on the
+    one-row-extended domain so the transpose stencil needs no second
+    exchange — plus 2 psums for the dot products.
+
+Numerics mirror models.srps.depth_matvec / solve.cg exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import gradients as gradops
+from ..ops import grid as gridops
+from ..ops.gradients import GradientMasks
+
+
+def _halo_rows(v, k: int, axis_name: str):
+    """Exchange k-row halos along the sharded row axis.
+
+    Returns (top, bottom): k rows from the band above / below (zeros at
+    the global boundary). 2 ppermutes.
+    """
+    n = lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i, i - 1) for i in range(1, n)]
+    top = lax.ppermute(v[-k:, :], axis_name, down)
+    bottom = lax.ppermute(v[:k, :], axis_name, up)
+    return top, bottom
+
+
+def _grad_x_rows(v, fwd_x, bwd_x):
+    """Dx on arbitrary row extent (within-row stencil)."""
+    left = jnp.concatenate([v[:, 1:], jnp.zeros_like(v[:, :1])], 1)
+    right = jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], 1)
+    return fwd_x * (left - v) + bwd_x * (v - right)
+
+
+def _grad_x_t_rows(y, fwd_x, bwd_x):
+    fy = fwd_x * y
+    by = bwd_x * y
+    fy_r = jnp.concatenate([jnp.zeros_like(fy[:, :1]), fy[:, :-1]], 1)
+    by_l = jnp.concatenate([by[:, 1:], jnp.zeros_like(by[:, :1])], 1)
+    return fy_r - fy + by - by_l
+
+
+def matvec_band(v, Fx, axis_name: str, sf: int, lam: float,
+                masks_local, mask_local):
+    """M v on one row band. Fx: dict of 1-row-extended fields (rows -1..h).
+
+    v is the local band (h_b, w); communication: one 2-row halo exchange.
+    """
+    top2, bot2 = _halo_rows(v, 2, axis_name)
+    v_ext = jnp.concatenate([top2, v, bot2], 0)  # rows -2 .. h+1
+    pe = v_ext[1:-1]  # rows -1 .. h
+
+    g_e = _grad_x_rows(pe, Fx["fwd_x"], Fx["bwd_x"])
+    h_e = Fx["fwd_y"] * (v_ext[2:] - pe) + Fx["bwd_y"] * (pe - v_ext[:-2])
+
+    t1_e = Fx["P11"] * g_e + Fx["P12"] * h_e - Fx["P13"] * pe
+    t2_e = Fx["P12"] * g_e + Fx["P22"] * h_e - Fx["P23"] * pe
+    t3_c = (Fx["P13"] * g_e + Fx["P23"] * h_e - Fx["P33"] * pe)[1:-1]
+
+    dxt = _grad_x_t_rows(t1_e[1:-1], Fx["fwd_x"][1:-1], Fx["bwd_x"][1:-1])
+    fy_e = Fx["fwd_y"] * t2_e
+    by_e = Fx["bwd_y"] * t2_e
+    hb = v.shape[0]
+    # (Dy^T t2)(i) = fy(i-1) - fy(i) + by(i) - by(i+1), i = 0..hb-1;
+    # fy_e index i+1 corresponds to row i.
+    dyt = fy_e[0:hb] - fy_e[1:hb + 1] + by_e[1:hb + 1] - by_e[2:hb + 2]
+
+    ata = dxt + dyt - t3_c
+    kt = gridops.resample_masked(v, masks_local, sf)
+    ktt = gridops.resample_masked_t(kt, mask_local, masks_local, sf)
+    return ktt + lam * ata
+
+
+def cg_sharded(
+    mesh: Mesh,
+    axis_name: str,
+    x0, b_residual, op, gm, mask, masks,
+    *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
+):
+    """Warm-started reference-semantics CG over row-band shards.
+
+    All (h, w) args sharded P(axis_name, None); (h / n_shards) % sf == 0.
+    Returns (x, iterations, final squared residual).
+    """
+    tol_sq = jnp.float32(tol) ** 2
+
+    def body_fn(x0_l, b_l, P11, P12, P13, P22, P23, P33,
+                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
+        # One-time: extend every static field by a 1-row halo (stacked =>
+        # one ppermute pair for all 10 fields).
+        F = jnp.stack([P11, P12, P13, P22, P23, P33,
+                       fwd_x, bwd_x, fwd_y, bwd_y])
+        Fm = jnp.moveaxis(F, 0, 1)  # (h_b, 10, w) rows leading for halos
+        topF, botF = _halo_rows(
+            Fm.reshape(Fm.shape[0], -1), 1, axis_name)
+        Fm_ext = jnp.concatenate(
+            [topF.reshape(1, *Fm.shape[1:]), Fm,
+             botF.reshape(1, *Fm.shape[1:])], 0)
+        F_ext = jnp.moveaxis(Fm_ext, 1, 0)  # (10, h_b+2, w)
+        names = ["P11", "P12", "P13", "P22", "P23", "P33",
+                 "fwd_x", "bwd_x", "fwd_y", "bwd_y"]
+        Fx = {k: F_ext[i] for i, k in enumerate(names)}
+
+        pdot = lambda a, b: lax.psum(jnp.vdot(a, b), axis_name)
+        mv = functools.partial(
+            matvec_band, Fx=Fx, axis_name=axis_name, sf=sf, lam=lam,
+            masks_local=masks_l, mask_local=mask_l)
+
+        def cond(c):
+            x, r, p, r0, r1, k = c
+            return (r1 > tol_sq) & (k <= max_iter)
+
+        def body(c):
+            x, r, p, r0, r1, k = c
+            k = k + 1
+            beta = jnp.where(k == 1, 0.0, r1 / jnp.where(r0 == 0, 1.0, r0))
+            p = r + beta * p
+            w = mv(p)
+            pw = pdot(p, w)
+            alpha = r1 / jnp.where(pw == 0, 1.0, pw)
+            x = x + alpha * p
+            r = r - alpha * w
+            return x, r, p, r1, pdot(r, r), k
+
+        r1 = pdot(b_l, b_l)
+        x, r, p, r0, r1, k = lax.while_loop(
+            cond, body,
+            (x0_l, b_l, jnp.zeros_like(b_l), jnp.float32(0.0), r1,
+             jnp.int32(0)))
+        return x, k, r1
+
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(axis_name, None)
+    fn = shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(spec,) * 13 + (spec,),
+        out_specs=(spec, P(), P()),
+        check_rep=False,
+    )
+    return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
+              op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)

@@ -176,12 +176,16 @@ def depth_energy(z, A, B, KT, z0s_pack, lam=1.0):
     return float(np.sum(r1 * r1) + lam * np.sum(r2 * r2))
 
 
-def cg(M, b, x0, tol=1e-9, max_iter=100):
+def cg(M, b, x0, tol=1e-9, max_iter=100, dtype=np.float64):
     """Mirror of cuda_based_conjugate_gradient (devicecalls.cu:229-279),
     including the warm-start residualisation convention: solves M x = b
-    starting from x0 (the caller residualises b)."""
-    x = np.array(x0, dtype=np.float64)
-    r = np.array(b, dtype=np.float64)
+    starting from x0 (the caller residualises b).
+
+    dtype=float32 mirrors the reference's actual arithmetic (all cuBLAS/
+    cuSPARSE S-routines); float64 gives the mathematical trajectory."""
+    M = M.astype(dtype)
+    x = np.array(x0, dtype=dtype)
+    r = np.array(b, dtype=dtype)
     p = np.zeros_like(r)
     r1 = float(r @ r)
     r0 = 0.0
@@ -191,10 +195,10 @@ def cg(M, b, x0, tol=1e-9, max_iter=100):
         if k == 1:
             p = r.copy()
         else:
-            p = r + (r1 / r0) * p
+            p = (r + dtype(r1 / r0) * p).astype(dtype)
         w = M @ p
-        alpha = r1 / float(p @ w)
-        x += alpha * p
-        r -= alpha * w
+        alpha = dtype(r1 / float(p @ w))
+        x = (x + alpha * p).astype(dtype)
+        r = (r - alpha * w).astype(dtype)
         r0, r1 = r1, float(r @ r)
     return x, k

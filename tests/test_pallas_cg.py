@@ -1,0 +1,100 @@
+"""Fused Pallas CG parity vs the jnp matrix-free path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_mask
+from srmeetsps_cuda_tpu.config import SolverConfig
+from srmeetsps_cuda_tpu.models import srps
+from srmeetsps_cuda_tpu.solve import pallas_cg
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+
+
+def _problem(rng, h, w, sf=2, n=3, c=3):
+    mask = random_mask(rng, h, w)
+    I = rng.random((n, c, h, w)).astype(np.float32)
+    K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+    z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+    prob = srps.build_problem(I, mask, K, sf, z0s)
+    z = (rng.random((h, w)).astype(np.float32) + 0.5) * mask
+    st = srps.init_state(prob, z)
+    mom = srps.s_moments(prob, st.s)
+    op = srps.build_depth_operator(prob, mom, st.rho, st.dz, 1.0)
+    return prob, st, mom, op
+
+
+class TestTilesum:
+    @pytest.mark.parametrize("sf", [2, 4])
+    def test_matches_reshape(self, rng, sf):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        v = rng.random((16, 256)).astype(np.float32)
+
+        def kernel(v_ref, o_ref):
+            o_ref[:] = pallas_cg._tilesum(v_ref[:], sf)
+
+        got = np.asarray(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+            interpret=True,
+        )(jnp.asarray(v)))
+        want = v.reshape(16 // sf, sf, 256 // sf, sf).sum(axis=(1, 3))
+        want = np.repeat(np.repeat(want, sf, 0), sf, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestKernelMatvec:
+    def test_one_iteration_matches_jnp(self, rng):
+        """One kernel-A call (beta=0 => p=r) must equal the jnp matvec."""
+        h, w, sf = 40, 48, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        r = (rng.standard_normal((h, w)).astype(np.float32)
+             * np.asarray(prob.mask))
+        geo = pallas_cg.geometry(h, w)
+        ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+        F = pallas_cg.stack_fields(op, prob.gm, ktw, geo)
+        S = jnp.stack([
+            pallas_cg.pad_field(jnp.zeros((h, w), jnp.float32), geo),
+            pallas_cg.pad_field(jnp.asarray(r), geo),
+            jnp.zeros(geo.shape, jnp.float32),
+        ])
+        p0 = jnp.zeros(geo.shape, jnp.float32)
+        p_alt = jnp.zeros(geo.shape, jnp.float32)
+        beta = jnp.zeros((1, 1), jnp.float32)
+        p_new, S_new, pw = pallas_cg._call_kernel_a(
+            S, p0, p_alt, F, beta, geo, 1.0, sf)
+        w_got = np.asarray(pallas_cg.unpad_field(S_new[pallas_cg.IW], geo))
+        w_want = np.asarray(
+            srps.depth_matvec(jnp.asarray(r), op, prob, sf, 1.0))
+        np.testing.assert_allclose(w_got, w_want, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(pallas_cg.unpad_field(p_new, geo)), r, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(pw[0, 0]), float(np.vdot(r, w_want)), rtol=1e-3)
+
+
+class TestFullCG:
+    @pytest.mark.parametrize("sf", [2, 4])
+    def test_matches_jnp_cg(self, rng, sf):
+        h, w = 32, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        cfg_ref = SolverConfig(cg_tol=1e-4, cg_max_iter=25)
+        z_ref, e_ref, it_ref = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, sf, cfg_ref)
+        cfg_pal = SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True)
+        z_pal, e_pal, it_pal = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, sf, cfg_pal)
+        assert abs(int(it_ref) - int(it_pal)) <= 2, (int(it_ref), int(it_pal))
+        np.testing.assert_allclose(float(e_pal), float(e_ref), rtol=1e-2)
+        # Pointwise: unconverged f32 CG drifts along low-curvature modes
+        # under any reassociation; bound the relative RMS drift instead.
+        d = np.asarray(z_pal) - np.asarray(z_ref)
+        rms = np.sqrt(np.mean(np.asarray(z_ref) ** 2))
+        assert np.sqrt(np.mean(d**2)) / rms < 5e-2

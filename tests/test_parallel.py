@@ -1,0 +1,106 @@
+"""Batched (vmap) and grid-sharded (GSPMD mesh) solve tests.
+
+Runs on the forced 8-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_mask
+from srmeetsps_cuda_tpu.config import SolverConfig
+from srmeetsps_cuda_tpu.models import srps
+from srmeetsps_cuda_tpu.parallel import batched, sharded
+
+
+def make_problem(rng, h=32, w=32, sf=2, n=3, c=3, seed_shift=0.0):
+    mask = random_mask(rng, h, w)
+    I = rng.random((n, c, h, w)).astype(np.float32)
+    z = (rng.random((h, w)).astype(np.float32) + 0.5 + seed_shift) * mask
+    K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+    z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+    prob = srps.build_problem(I, mask, K, sf, z0s)
+    state = srps.init_state(prob, z)
+    return prob, state
+
+
+class TestBatched:
+    def test_matches_solo_trajectories(self, rng):
+        cfg = SolverConfig(max_iterations=3)
+        sf = 2
+        probs, states = [], []
+        for b in range(3):
+            pb, st = make_problem(rng, seed_shift=0.1 * b)
+            probs.append(pb)
+            states.append(st)
+        prob_b = batched.stack_problems(probs)
+        state_b = batched.stack_states(states)
+        final_b, trace_b = batched.solve_batched(state_b, prob_b, sf, cfg)
+        trace_b = np.asarray(trace_b)
+        for b in range(3):
+            final_s, trace_s = srps.solve_fused(states[b], probs[b], sf, cfg)
+            n_it = int(final_s.iteration)
+            assert n_it >= 1
+            # vmap reorders reductions => f32 rounding differs; with the
+            # ill-conditioned unconverged CG the z iterates drift along
+            # low-curvature modes, but energies (the observable the
+            # stopping rule uses) must track. Iteration counts may flip by
+            # one when a lane sits exactly on the rel-tol boundary.
+            lane_valid = int(np.isfinite(trace_b[b]).sum())
+            assert abs(lane_valid - n_it) <= 1, (lane_valid, n_it)
+            m = min(lane_valid, n_it)
+            np.testing.assert_allclose(
+                trace_b[b, :m], np.asarray(trace_s)[:m], rtol=1e-2)
+
+
+class TestSharded:
+    def test_mesh_construction(self):
+        mesh = sharded.make_mesh(8, data=2)
+        assert mesh.shape["data"] == 2
+        assert mesh.shape["x"] * mesh.shape["y"] == 4
+
+    def test_sharded_step_matches_single_device(self, rng):
+        cfg = SolverConfig(max_iterations=2)
+        sf = 2
+        # Shapes divisible by mesh tiles * sf.
+        pb, st = make_problem(rng, h=32, w=32)
+        ref = srps.srps_iteration(st, pb, sf, cfg)
+
+        mesh = sharded.make_mesh(8, data=1)  # spatial 8-way
+        pb_s = sharded.shard_pytree(pb, mesh)
+        st_s = sharded.shard_pytree(st, mesh)
+        out = sharded.step_sharded(st_s, pb_s, sf, cfg)
+        np.testing.assert_allclose(float(out.energy), float(ref.energy),
+                                   rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out.z), np.asarray(ref.z),
+                                   rtol=1e-2, atol=1e-3)
+
+    def test_sharded_fused_solve(self, rng):
+        cfg = SolverConfig(max_iterations=2)
+        sf = 2
+        pb, st = make_problem(rng, h=32, w=64)
+        mesh = sharded.make_mesh(8, data=1)
+        pb_s = sharded.shard_pytree(pb, mesh)
+        st_s = sharded.shard_pytree(st, mesh)
+        final, trace = sharded.solve_sharded(st_s, pb_s, sf, cfg, mesh)
+        ref_final, ref_trace = srps.solve_fused(st, pb, sf, cfg)
+        assert int(final.iteration) == int(ref_final.iteration)
+        n_it = int(final.iteration)
+        np.testing.assert_allclose(np.asarray(trace)[:n_it],
+                                   np.asarray(ref_trace)[:n_it], rtol=1e-2)
+
+    def test_dryrun_entrypoint(self):
+        sharded.dryrun(8)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out.z)
+        assert np.isfinite(float(out.energy))

@@ -1,0 +1,87 @@
+"""Manual shard_map halo-exchange CG parity vs the single-device path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from conftest import random_mask
+from srmeetsps_cuda_tpu.config import SolverConfig
+from srmeetsps_cuda_tpu.models import srps
+from srmeetsps_cuda_tpu.parallel import shard_cg
+from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+
+def _setup(rng, h=64, w=32, sf=2, n=3, c=3):
+    mask = random_mask(rng, h, w)
+    I = rng.random((n, c, h, w)).astype(np.float32)
+    K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+    z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+    prob = srps.build_problem(I, mask, K, sf, z0s)
+    z = (rng.random((h, w)).astype(np.float32) + 0.5) * mask
+    st = srps.init_state(prob, z)
+    mom = srps.s_moments(prob, st.s)
+    op = srps.build_depth_operator(prob, mom, st.rho, st.dz, 1.0)
+    return prob, st, op
+
+
+class TestShardCG:
+    def test_matvec_band_matches_reference(self, rng):
+        """shard_map matvec over 8 row bands == single-device matvec."""
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        v = rng.standard_normal((h, w)).astype(np.float32) * np.asarray(prob.mask)
+        want = np.asarray(srps.depth_matvec(jnp.asarray(v), op, prob, sf, 1.0))
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        from jax.experimental.shard_map import shard_map
+        import functools
+
+        def body(v_l, P11, P12, P13, P22, P23, P33, fx, bx, fy, by,
+                 mask_l, masks_l):
+            F = jnp.stack([P11, P12, P13, P22, P23, P33, fx, bx, fy, by])
+            Fm = jnp.moveaxis(F, 0, 1)
+            topF, botF = shard_cg._halo_rows(
+                Fm.reshape(Fm.shape[0], -1), 1, "x")
+            Fm_ext = jnp.concatenate(
+                [topF.reshape(1, *Fm.shape[1:]), Fm,
+                 botF.reshape(1, *Fm.shape[1:])], 0)
+            F_ext = jnp.moveaxis(Fm_ext, 1, 0)
+            names = ["P11", "P12", "P13", "P22", "P23", "P33",
+                     "fwd_x", "bwd_x", "fwd_y", "bwd_y"]
+            Fx = {k: F_ext[i] for i, k in enumerate(names)}
+            return shard_cg.matvec_band(v_l, Fx, "x", sf, 1.0,
+                                        masks_l, mask_l)
+
+        spec = P("x", None)
+        fn = shard_map(body, mesh=mesh, in_specs=(spec,) * 13,
+                       out_specs=spec, check_rep=False)
+        got = np.asarray(fn(
+            jnp.asarray(v), op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+            prob.gm.fwd_x, prob.gm.bwd_x, prob.gm.fwd_y, prob.gm.bwd_y,
+            prob.mask, prob.masks))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_full_cg_matches_single_device(self, rng):
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        ref = conjugate_gradient(mv, b_res, st.z, tol=1e-4, max_iter=30)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x, k, r1 = shard_cg.cg_sharded(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        assert abs(int(k) - int(ref.iterations)) <= 2
+        # residual-level agreement (unconverged CG drifts pointwise)
+        got_r = np.asarray(mv(jnp.asarray(x)) - (rhs - mv(st.z) + mv(st.z)))
+        np.testing.assert_allclose(
+            float(r1), float(ref.residual_sq), rtol=0.3)
+        d = np.asarray(x) - np.asarray(ref.x)
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        assert np.sqrt(np.mean(d**2)) / rms < 2e-2
