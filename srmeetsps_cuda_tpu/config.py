@@ -59,6 +59,9 @@ class SolverConfig:
     # Pallas fused kernels for the hot CG matvec (falls back to pure-jnp
     # lax ops when False or unsupported on the backend).
     use_pallas: bool = False
+    # Pallas variant: True = the whole CG loop in one kernel launch
+    # (solve/pallas_cg_fused.py); False = two kernel calls per iteration.
+    pallas_fused_loop: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -351,9 +351,11 @@ def estimate_depth(
     b_res = rhs - matvec(z)
     if cfg.use_pallas:
         from ..solve.pallas_cg import cg_pallas, make_ktw
+        from ..solve.pallas_cg_fused import cg_pallas_fused
 
         ktw = make_ktw(prob.mask, prob.masks, sf)
-        x, iters, _ = cg_pallas(
+        cg_fn = cg_pallas_fused if cfg.pallas_fused_loop else cg_pallas
+        x, iters, _ = cg_fn(
             z, b_res, op, prob.gm, ktw, sf=sf, lam=lam,
             tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         res = CGResult(x, iters, jnp.float32(0.0))

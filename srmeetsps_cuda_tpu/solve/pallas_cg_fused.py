@@ -1,0 +1,267 @@
+"""The ENTIRE depth CG solve as ONE Pallas kernel launch.
+
+pallas_cg.py runs two kernel calls per CG iteration (~200 calls per depth
+solve); every call pays XLA/Mosaic invocation overhead and serialises its
+DMAs. This module folds the complete while-loop into a single
+``pallas_call`` with grid ``(max_iter + 1, 2, n_bands)``:
+
+  phase 0 (per band): p = r + beta p;  w = M p;   pw += <p, w>
+  phase 1 (per band): x += alpha p;    r -= alpha w;  rr += <r, r>
+
+The CG scalars (r0, r1, pw, rr, active) live in SMEM scratch that persists
+across the sequential TPU grid; band 0 of each phase computes beta/alpha
+from them, and the reference's stopping rule (squared residual <= tol^2,
+devicecalls.cu:252) is preserved by an ``active`` flag that turns all
+remaining grid steps into no-ops — results are bit-identical to the
+two-kernel version, iterations beyond convergence just cost empty steps.
+
+The direction vector ping-pongs between two HBM rows of the single stacked
+state T = [x, r, w, p0, p1] (dynamic leading-index DMA slicing — the
+(8, 128) alignment constraint applies to the trailing dims only), so the
+whole state is ONE aliased buffer and the kernel is fully in-place.
+
+Same band geometry/padding as pallas_cg.py (full-width bands, 8-row ring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_cg as _pcg
+from .pallas_cg import (
+    RING, TH, P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW,
+    PaddedGeometry, _shift, _tilesum, geometry, pad_field, unpad_field,
+    stack_fields, make_ktw,
+)
+
+# Rows of the stacked state T.
+TX, TR, TW_, TP0, TP1 = range(5)
+# SMEM scratch slots.
+S_R0, S_R1, S_PW, S_RR, S_ACT, S_BETA, S_ALPHA = range(7)
+
+
+def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
+            *, lam: float, sf: int):
+    # All state reads go through T_out (the aliased output ref): in
+    # interpret mode the aliased output is a *copy* of the input, so reads
+    # via T_hbm would miss earlier grid steps' writes; on hardware both
+    # refs are the same memory and this is free.
+    # NOTE: scal is an SMEM *output* (1, 8), not scratch — output buffers
+    # persist across sequential grid steps (scratch does not in interpret
+    # mode). Slot layout via S_* indices.
+    it = pl.program_id(0)
+    phase = pl.program_id(1)
+    band = pl.program_id(2)
+    n_bands = pl.num_programs(2)
+    tol_sq = consts_ref[0, 0]
+    r1_init = consts_ref[0, 1]
+    max_iter = consts_ref[0, 2]
+
+    @pl.when((it == 0) & (phase == 0) & (band == 0))
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_R1] = r1_init
+        scal[0, S_ACT] = 1.0
+        iters_ref[0, 0] = 0.0
+        r1_ref[0, 0] = r1_init
+
+    # Stopping rule at the top of each iteration (band 0, phase 0):
+    # while (r1 > tol^2 && k <= max_iter) — k here is `it` (0-based count
+    # of completed iterations == reference's k-1 before increment).
+    @pl.when((phase == 0) & (band == 0))
+    def _():
+        r1 = scal[0, S_R1]
+        active = jnp.where(
+            (r1 > tol_sq) & (it.astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(it == 0, 0.0,
+                                 r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0,
+                                                scal[0, S_R0]))
+        scal[0, S_PW] = 0.0
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[0, 0] += 1.0
+
+    active = scal[0, S_ACT] > 0.0
+    # p rows ping-pong by iteration parity.
+    p_src = TP0 + lax.rem(it, 2)
+    p_dst = TP0 + lax.rem(it + 1, 2)
+
+    @pl.when(active & (phase == 0))
+    def _():
+        def body(r_buf, p_buf, f_buf, w_buf, sems, out_sems):
+            TB = TH + 2 * RING
+            cp_r = pltpu.make_async_copy(
+                T_out.at[TR, pl.ds(band * TH, TB), :], r_buf, sems.at[0])
+            cp_p = pltpu.make_async_copy(
+                T_out.at[p_src, pl.ds(band * TH, TB), :], p_buf, sems.at[1])
+            cp_f = pltpu.make_async_copy(
+                F_hbm.at[:, pl.ds(band * TH, TB), :], f_buf, sems.at[2])
+            cp_r.start()
+            cp_p.start()
+            cp_f.start()
+            cp_r.wait()
+            cp_p.wait()
+
+            beta = scal[0, S_BETA]
+            p = r_buf[:] + beta * p_buf[:]
+            cp_f.wait()
+
+            f = f_buf
+            fwd_x, bwd_x, fwd_y, bwd_y = f[FX], f[BX], f[FY], f[BY]
+            g = fwd_x * (_shift(p, 0, 1) - p) + bwd_x * (p - _shift(p, 0, -1))
+            h = fwd_y * (_shift(p, 1, 0) - p) + bwd_y * (p - _shift(p, -1, 0))
+            t1 = f[P11] * g + f[P12] * h - f[P13] * p
+            t2 = f[P12] * g + f[P22] * h - f[P23] * p
+            t3 = f[P13] * g + f[P23] * h - f[P33] * p
+            f1 = fwd_x * t1
+            b1 = bwd_x * t1
+            dxt = _shift(f1, 0, -1) - f1 + b1 - _shift(b1, 0, 1)
+            f2 = fwd_y * t2
+            b2 = bwd_y * t2
+            dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
+
+            pin = p[RING:RING + TH, :]
+            ktt = f[KTW, RING:RING + TH, :] * _tilesum(pin, sf)
+            w = ktt + lam * (dxt + dyt - t3)[RING:RING + TH, :]
+
+            p_buf[RING:RING + TH, :] = pin
+            w_buf[:] = w
+            o_p = pltpu.make_async_copy(
+                p_buf.at[pl.ds(RING, TH), :],
+                T_out.at[p_dst, pl.ds(band * TH + RING, TH), :],
+                out_sems.at[0])
+            o_w = pltpu.make_async_copy(
+                w_buf, T_out.at[TW_, pl.ds(band * TH + RING, TH), :],
+                out_sems.at[1])
+            o_p.start()
+            o_w.start()
+            scal[0, S_PW] += jnp.sum(pin * w)
+            o_p.wait()
+            o_w.wait()
+
+        wp = T_out.shape[-1]
+        pl.run_scoped(
+            body,
+            r_buf=pltpu.VMEM((TH + 2 * RING, wp), jnp.float32),
+            p_buf=pltpu.VMEM((TH + 2 * RING, wp), jnp.float32),
+            f_buf=pltpu.VMEM((11, TH + 2 * RING, wp), jnp.float32),
+            w_buf=pltpu.VMEM((TH, wp), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((3,)),
+            out_sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    @pl.when((phase == 1) & (band == 0))
+    def _():
+        @pl.when(active)
+        def _():
+            pw = scal[0, S_PW]
+            scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+            scal[0, S_RR] = 0.0
+
+    @pl.when(active & (phase == 1))
+    def _():
+        def body(s_buf, p_buf, sems, out_sem):
+            # x, r rows (contiguous TX, TR) + w row + fresh p row.
+            cp_s = pltpu.make_async_copy(
+                T_out.at[pl.ds(TX, 3), pl.ds(band * TH + RING, TH), :],
+                s_buf, sems.at[0])
+            cp_p = pltpu.make_async_copy(
+                T_out.at[p_dst, pl.ds(band * TH + RING, TH), :], p_buf,
+                sems.at[1])
+            cp_s.start()
+            cp_p.start()
+            cp_s.wait()
+            cp_p.wait()
+            alpha = scal[0, S_ALPHA]
+            x = s_buf[TX] + alpha * p_buf[:]
+            r = s_buf[TR] - alpha * s_buf[TW_]
+            s_buf[TX] = x
+            s_buf[TR] = r
+            o = pltpu.make_async_copy(
+                s_buf.at[pl.ds(TX, 2)],
+                T_out.at[pl.ds(TX, 2), pl.ds(band * TH + RING, TH), :],
+                out_sem)
+            o.start()
+            scal[0, S_RR] += jnp.sum(r * r)
+            o.wait()
+
+        wp = T_out.shape[-1]
+        pl.run_scoped(
+            body,
+            s_buf=pltpu.VMEM((3, TH, wp), jnp.float32),
+            p_buf=pltpu.VMEM((TH, wp), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((2,)),
+            out_sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    # End of iteration: rotate scalars (band n-1, phase 1).
+    @pl.when((phase == 1) & (band == n_bands - 1))
+    def _():
+        @pl.when(active)
+        def _():
+            scal[0, S_R0] = scal[0, S_R1]
+            scal[0, S_R1] = scal[0, S_RR]
+            r1_ref[0, 0] = scal[0, S_RR]
+
+
+def cg_pallas_fused(
+    x0, b_residual, op, gm, ktw, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-launch CG. Same semantics/returns as pallas_cg.cg_pallas."""
+    h, w = x0.shape
+    if sf not in (1, 2, 4):
+        raise ValueError(f"unsupported sf: {sf}")
+    geo = geometry(h, w)
+    F = stack_fields(op, gm, ktw, geo)
+    T = jnp.stack([
+        pad_field(jnp.asarray(x0, jnp.float32), geo),
+        pad_field(jnp.asarray(b_residual, jnp.float32), geo),
+        jnp.zeros(geo.shape, jnp.float32),
+        jnp.zeros(geo.shape, jnp.float32),
+        jnp.zeros(geo.shape, jnp.float32),
+    ])
+    r1_0 = jnp.sum(T[TR] * T[TR])
+    consts = jnp.stack([
+        jnp.float32(tol) ** 2, r1_0, jnp.float32(max_iter)
+    ]).reshape(1, 3)
+
+    n_bands = geo.hp // TH
+    kernel = functools.partial(_kernel, lam=lam, sf=sf)
+    T_new, iters, r1, _scal = pl.pallas_call(
+        kernel,
+        grid=(max_iter + 1, 2, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # consts (1,3)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # T
+            pl.BlockSpec(memory_space=pltpu.HBM),   # F
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # T (aliased)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # iterations
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # final r1
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar workspace
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(T.shape, T.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_pcg.INTERPRET,
+    )(consts, T, F)
+    return (unpad_field(T_new[TX], geo),
+            iters[0, 0].astype(jnp.int32),
+            r1[0, 0])

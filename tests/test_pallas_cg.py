@@ -82,13 +82,15 @@ class TestKernelMatvec:
 
 class TestFullCG:
     @pytest.mark.parametrize("sf", [2, 4])
-    def test_matches_jnp_cg(self, rng, sf):
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_matches_jnp_cg(self, rng, sf, fused):
         h, w = 32, 32
         prob, st, mom, op = _problem(rng, h, w, sf)
         cfg_ref = SolverConfig(cg_tol=1e-4, cg_max_iter=25)
         z_ref, e_ref, it_ref = srps.estimate_depth(
             prob, mom, st.rho, st.dz, st.z, sf, cfg_ref)
-        cfg_pal = SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True)
+        cfg_pal = SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True,
+                               pallas_fused_loop=fused)
         z_pal, e_pal, it_pal = srps.estimate_depth(
             prob, mom, st.rho, st.dz, st.z, sf, cfg_pal)
         assert abs(int(it_ref) - int(it_pal)) <= 2, (int(it_ref), int(it_pal))
