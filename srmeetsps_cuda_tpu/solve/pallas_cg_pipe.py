@@ -1,0 +1,316 @@
+"""Pipelined single-launch Pallas CG: double-buffered band streaming.
+
+pallas_cg_fused.py issues one grid step per (iteration, phase, band) and
+serialises each band's DMAs against its compute. This variant collapses the
+band dimension into an in-kernel ``fori_loop`` (grid is just
+``(max_iter + 1, 2)``) with TWO VMEM slots per stream: while band b
+computes, band b+1's inputs are already in flight, and output DMAs drain in
+the background (waited two bands later, before their slot is reused) — the
+guide's double-buffering pattern applied to the whole CG loop. The dot
+products accumulate in a fori carry (registers), touching SMEM once per
+phase.
+
+Numerics are identical to pallas_cg_fused (same per-band arithmetic; the
+only reduction-order difference is the pw/rr accumulation, which is the
+same band order).
+
+VMEM: 2 slots x (r, p, 11-field F, w) at TH=64 is ~11 MB for a 1280-wide
+image — ``supported()`` gates width.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_cg as _pcg
+from .pallas_cg import (
+    RING, TH, P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW,
+    _shift, _tilesum, geometry, pad_field, unpad_field, stack_fields,
+    make_ktw,
+)
+from .pallas_cg_fused import TX, TR, TW_, TP0, TP1, S_R0, S_R1, S_PW, S_RR, \
+    S_ACT, S_BETA, S_ALPHA
+
+
+def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
+            *, lam: float, sf: int, n_bands: int):
+    it = pl.program_id(0)
+    phase = pl.program_id(1)
+    tol_sq = consts_ref[0, 0]
+    r1_init = consts_ref[0, 1]
+    max_iter = consts_ref[0, 2]
+    wp = T_out.shape[-1]
+    TB = TH + 2 * RING
+
+    @pl.when((it == 0) & (phase == 0))
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_R1] = r1_init
+        scal[0, S_ACT] = 1.0
+        iters_ref[0, 0] = 0.0
+        r1_ref[0, 0] = r1_init
+
+    @pl.when(phase == 0)
+    def _():
+        r1 = scal[0, S_R1]
+        active = jnp.where(
+            (r1 > tol_sq) & (it.astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(
+            it == 0, 0.0,
+            r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[0, 0] += 1.0
+
+    active = scal[0, S_ACT] > 0.0
+    p_src = TP0 + lax.rem(it, 2)
+    p_dst = TP0 + lax.rem(it + 1, 2)
+
+    # ---------------- phase 0: p update + matvec + <p, w> ----------------
+    @pl.when(active & (phase == 0))
+    def _():
+        def body(r_bufs, p_bufs, f_bufs, w_bufs, in_sems, out_sems):
+            def start_in(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    T_out.at[TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
+                    in_sems.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    T_out.at[p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
+                    in_sems.at[slot, 1]).start()
+                pltpu.make_async_copy(
+                    F_hbm.at[:, pl.ds(b * TH, TB), :], f_bufs.at[slot],
+                    in_sems.at[slot, 2]).start()
+
+            def wait_in(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    T_out.at[TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
+                    in_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    T_out.at[p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
+                    in_sems.at[slot, 1]).wait()
+                pltpu.make_async_copy(
+                    F_hbm.at[:, pl.ds(b * TH, TB), :], f_bufs.at[slot],
+                    in_sems.at[slot, 2]).wait()
+
+            def wait_out(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    p_bufs.at[slot, pl.ds(RING, TH), :],
+                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    w_bufs.at[slot],
+                    T_out.at[TW_, pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot, 1]).wait()
+
+            start_in(0)
+
+            def loop(b, pw):
+                slot = lax.rem(b, 2)
+
+                @pl.when(b + 1 < n_bands)
+                def _():
+                    start_in(b + 1)
+
+                wait_in(b)
+
+                beta = scal[0, S_BETA]
+                p = r_bufs[slot] + beta * p_bufs[slot]
+                f = f_bufs.at[slot]
+                fwd_x, bwd_x = f[FX], f[BX]
+                fwd_y, bwd_y = f[FY], f[BY]
+                g = fwd_x * (_shift(p, 0, 1) - p) + bwd_x * (p - _shift(p, 0, -1))
+                h = fwd_y * (_shift(p, 1, 0) - p) + bwd_y * (p - _shift(p, -1, 0))
+                t1 = f[P11] * g + f[P12] * h - f[P13] * p
+                t2 = f[P12] * g + f[P22] * h - f[P23] * p
+                t3 = f[P13] * g + f[P23] * h - f[P33] * p
+                f1 = fwd_x * t1
+                b1 = bwd_x * t1
+                dxt = _shift(f1, 0, -1) - f1 + b1 - _shift(b1, 0, 1)
+                f2 = fwd_y * t2
+                b2 = bwd_y * t2
+                dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
+
+                pin = p[RING:RING + TH, :]
+                ktt = f[KTW, RING:RING + TH, :] * _tilesum(pin, sf)
+                w = ktt + lam * (dxt + dyt - t3)[RING:RING + TH, :]
+
+                # Drain this slot's previous output before overwriting.
+                @pl.when(b >= 2)
+                def _():
+                    wait_out(b - 2)
+
+                p_bufs[slot, RING:RING + TH, :] = pin
+                w_bufs[slot] = w
+                pltpu.make_async_copy(
+                    p_bufs.at[slot, pl.ds(RING, TH), :],
+                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    w_bufs.at[slot],
+                    T_out.at[TW_, pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot, 1]).start()
+                return pw + jnp.sum(pin * w)
+
+            pw = lax.fori_loop(0, n_bands, loop, jnp.float32(0.0))
+            # Drain the tail.
+            if n_bands >= 2:
+                wait_out(n_bands - 2)
+            wait_out(n_bands - 1)
+            scal[0, S_PW] = pw
+
+        pl.run_scoped(
+            body,
+            r_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
+            p_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
+            f_bufs=pltpu.VMEM((2, 11, TB, wp), jnp.float32),
+            w_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
+            in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+            out_sems=pltpu.SemaphoreType.DMA((2, 2)),
+        )
+
+    # ---------------- phase 1: axpy + <r, r> ----------------
+    @pl.when(phase == 1)
+    def _():
+        @pl.when(active)
+        def _():
+            pw = scal[0, S_PW]
+            scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+
+    @pl.when(active & (phase == 1))
+    def _():
+        def body(s_bufs, p_bufs, in_sems, out_sems):
+            def start_in(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    T_out.at[pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
+                    s_bufs.at[slot], in_sems.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    p_bufs.at[slot], in_sems.at[slot, 1]).start()
+
+            def wait_in(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    T_out.at[pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
+                    s_bufs.at[slot], in_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    p_bufs.at[slot], in_sems.at[slot, 1]).wait()
+
+            def wait_out(b):
+                slot = lax.rem(b, 2)
+                pltpu.make_async_copy(
+                    s_bufs.at[slot, pl.ds(TX, 2)],
+                    T_out.at[pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot]).wait()
+
+            start_in(0)
+
+            def loop(b, rr):
+                slot = lax.rem(b, 2)
+
+                @pl.when(b + 1 < n_bands)
+                def _():
+                    start_in(b + 1)
+
+                wait_in(b)
+                alpha = scal[0, S_ALPHA]
+                x = s_bufs[slot, TX] + alpha * p_bufs[slot]
+                r = s_bufs[slot, TR] - alpha * s_bufs[slot, TW_]
+
+                @pl.when(b >= 2)
+                def _():
+                    wait_out(b - 2)
+
+                s_bufs[slot, TX] = x
+                s_bufs[slot, TR] = r
+                pltpu.make_async_copy(
+                    s_bufs.at[slot, pl.ds(TX, 2)],
+                    T_out.at[pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
+                    out_sems.at[slot]).start()
+                return rr + jnp.sum(r * r)
+
+            rr = lax.fori_loop(0, n_bands, loop, jnp.float32(0.0))
+            if n_bands >= 2:
+                wait_out(n_bands - 2)
+            wait_out(n_bands - 1)
+            scal[0, S_RR] = rr
+
+        pl.run_scoped(
+            body,
+            s_bufs=pltpu.VMEM((2, 3, TH, wp), jnp.float32),
+            p_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
+            in_sems=pltpu.SemaphoreType.DMA((2, 2)),
+            out_sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+        # Rotate scalars at end of iteration.
+        scal[0, S_R0] = scal[0, S_R1]
+        scal[0, S_R1] = scal[0, S_RR]
+        r1_ref[0, 0] = scal[0, S_RR]
+
+
+def cg_pallas_pipelined(
+    x0, b_residual, op, gm, ktw, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-launch, band-pipelined CG. Same semantics as cg_pallas."""
+    h, w = x0.shape
+    if sf not in (1, 2, 4):
+        raise ValueError(f"unsupported sf: {sf}")
+    geo = geometry(h, w)
+    F = stack_fields(op, gm, ktw, geo)
+    T = jnp.stack([
+        pad_field(jnp.asarray(x0, jnp.float32), geo),
+        pad_field(jnp.asarray(b_residual, jnp.float32), geo),
+        jnp.zeros(geo.shape, jnp.float32),
+        jnp.zeros(geo.shape, jnp.float32),
+        jnp.zeros(geo.shape, jnp.float32),
+    ])
+    r1_0 = jnp.sum(T[1] * T[1])
+    consts = jnp.stack([
+        jnp.float32(tol) ** 2, r1_0, jnp.float32(max_iter)
+    ]).reshape(1, 3)
+
+    n_bands = geo.hp // TH
+    kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands)
+    T_new, iters, r1, _scal = pl.pallas_call(
+        kernel,
+        grid=(max_iter + 1, 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(T.shape, T.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_pcg.INTERPRET,
+    )(consts, T, F)
+    return (unpad_field(T_new[TX], geo),
+            iters[0, 0].astype(jnp.int32),
+            r1[0, 0])
