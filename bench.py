@@ -66,7 +66,7 @@ def main():
     else:
         data = synthetic_dataset()
 
-    cfg = SolverConfig()
+    cfg = SolverConfig(use_pallas=True)
     sf = int(data.sf)
     prob, state0 = prepare(data, cfg)
 

@@ -349,12 +349,21 @@ def estimate_depth(
     matvec = partial(depth_matvec, op=op, prob=prob, sf=sf, lam=lam)
     rhs = depth_rhs(op, prob, sf, lam)
     b_res = rhs - matvec(z)
-    if cfg.use_pallas:
+    h, w = z.shape
+    from ..solve import pallas_cg as _pcg
+
+    if cfg.use_pallas and _pcg.supported(h, w, sf, pipelined=False):
         from ..solve.pallas_cg import cg_pallas, make_ktw
         from ..solve.pallas_cg_fused import cg_pallas_fused
+        from ..solve.pallas_cg_pipe import cg_pallas_pipelined
 
         ktw = make_ktw(prob.mask, prob.masks, sf)
-        cg_fn = cg_pallas_fused if cfg.pallas_fused_loop else cg_pallas
+        if not cfg.pallas_fused_loop:
+            cg_fn = cg_pallas  # two kernel calls per iteration
+        elif _pcg.supported(h, w, sf, pipelined=True):
+            cg_fn = cg_pallas_pipelined  # double-buffered mega-kernel
+        else:
+            cg_fn = cg_pallas_fused  # single-buffer mega-kernel (wider)
         x, iters, _ = cg_fn(
             z, b_res, op, prob.gm, ktw, sf=sf, lam=lam,
             tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)

@@ -244,13 +244,21 @@ def geometry(h: int, w: int) -> PaddedGeometry:
     return PaddedGeometry(h, w, hp, wp)
 
 
-def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20) -> bool:
-    """Whether the fused kernels fit this problem (width-driven VMEM)."""
+def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20,
+              pipelined: bool = True) -> bool:
+    """Whether the fused kernels fit this problem (width-driven VMEM).
+
+    The pipelined variant double-buffers every stream (2x the footprint);
+    the single-buffer variants fit up to ~2.7k-wide grids at TH=64.
+    """
     if sf not in (1, 2, 4):
         return False
     geo = geometry(h, w)
-    per_row_bufs = 13 * (TH + 2 * RING) + TH  # r, p, 11 F rows + w
-    return per_row_bufs * geo.wp * 4 <= vmem_budget
+    TB = TH + 2 * RING
+    per_row = 13 * TB + TH  # r, p, 11 F bands + w
+    if pipelined:
+        per_row *= 2
+    return per_row * geo.wp * 4 <= vmem_budget
 
 
 def pad_field(a, geo: PaddedGeometry):
