@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save PNG visualizations (replaces cv::imshow)")
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas CG kernels (TPU)")
+    p.add_argument("--nan-check", action="store_true",
+                   help="raise on the first NaN-producing op (jax_debug_nans)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the solve")
     return p
 
 
@@ -87,6 +93,7 @@ def main(argv=None) -> int:
         cg_max_iter=args.cg_max_iter,
         lam=args.lam,
         jacobi_preconditioner=args.jacobi,
+        use_pallas=args.pallas,
     )
     rt = RuntimeConfig(
         dump_iterations=args.dump,
@@ -96,6 +103,8 @@ def main(argv=None) -> int:
         metrics_jsonl=args.metrics_jsonl,
         resume_from=args.resume_from,
         fused_outer_loop=args.fused,
+        nan_check=args.nan_check,
+        profile_dir=args.profile_dir,
     )
 
     from .runtime.solver import solve

@@ -89,6 +89,11 @@ class RuntimeConfig:
     metrics_jsonl: Optional[str] = None
     # Resume from a checkpoint dumped by a previous run.
     resume_from: Optional[str] = None
+    # Debug-NaN mode: makes XLA raise on the first NaN-producing op
+    # (jax_debug_nans) — the JAX analog of running under a sanitizer.
+    nan_check: bool = False
+    # Capture a jax.profiler trace of the solve into this directory.
+    profile_dir: Optional[str] = None
     # Run the whole outer loop on-device inside one lax.while_loop (no
     # per-iteration host sync). Iteration metrics are then only available
     # as a trace after the solve.

@@ -76,6 +76,22 @@ def solve(
     verbose: bool = True,
 ):
     """End-to-end solve. Returns (final_state, metrics: list of dicts)."""
+    if rt.nan_check:
+        jax.config.update("jax_debug_nans", True)
+    profiler_cm = None
+    if rt.profile_dir:
+        profiler_cm = jax.profiler.trace(rt.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        return _solve_inner(data, cfg, rt, verbose)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+        if rt.nan_check:
+            jax.config.update("jax_debug_nans", False)
+
+
+def _solve_inner(data, cfg, rt, verbose):
     prob, state = prepare(data, cfg)
     sf = int(data.sf)
 
