@@ -97,7 +97,7 @@ class SRPSState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def build_problem(I, mask, K, sf: int, z0s) -> SRPSProblem:
+def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRPSProblem:
     """Assemble the device-side problem container.
 
     Args:
@@ -107,15 +107,21 @@ def build_problem(I, mask, K, sf: int, z0s) -> SRPSProblem:
       K: (3, 3) intrinsics (fx=K[0,0], fy=K[1,1], cx=K[0,2], cy=K[1,2]).
       sf: integer scale factor.
       z0s: (h/sf, w/sf) preprocessed LR depth (masked).
+      image_dtype: "float32" (default) or "bfloat16" — bf16 halves the
+        HBM traffic of the two per-iteration passes over I (reductions
+        still accumulate in f32) at a small accuracy cost.
     """
     mask = (jnp.asarray(mask) != 0).astype(jnp.float32)
     h, w = mask.shape
     I = jnp.asarray(I, jnp.float32) * mask
+    if image_dtype == "bfloat16":
+        I = I.astype(jnp.bfloat16)
     masks = gridops.lr_mask(mask, sf)
     xx, yy = gridops.meshgrid_camera(h, w, float(K[0][2]), float(K[1][2]))
     xx = xx * mask
     yy = yy * mask
-    SI2 = jnp.einsum("nchw->chw", I * I)
+    SI2 = jnp.einsum(
+        "nchw->chw", (I * I).astype(jnp.float32))
     return SRPSProblem(
         I=I,
         mask=mask,
@@ -169,7 +175,8 @@ def estimate_lighting(prob: SRPSProblem, rho, N) -> jax.Array:
     T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
     If = prob.I.reshape(n, c, h * w)
     ATA = jnp.einsum("cap,cbp->cab", T, T, precision=HI)  # (c,4,4)
-    ATb = jnp.einsum("cap,ncp->nca", T, If, precision=HI)  # (n,c,4)
+    ATb = jnp.einsum("cap,ncp->nca", T, If, precision=HI,
+                     preferred_element_type=jnp.float32)  # (n,c,4)
     ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
     return jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
 
@@ -188,7 +195,8 @@ def s_moments(prob: SRPSProblem, s) -> SMoments:
     n, c, h, w = prob.I.shape
     G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
     J = jnp.einsum(
-        "nck,ncp->ckp", s, prob.I.reshape(n, c, h * w), precision=HI
+        "nck,ncp->ckp", s.astype(prob.I.dtype), prob.I.reshape(n, c, h * w),
+        precision=HI, preferred_element_type=jnp.float32,
     ).reshape(c, 4, h, w)
     return SMoments(G, J)
 

@@ -52,7 +52,8 @@ def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig()):
     (SRPS.cu:100-270)."""
     h, w = data.mask.shape
     zs, z_init = preprocess_depth(data.z0, h, w, cfg)
-    prob = srps.build_problem(data.I, data.mask, data.K, data.sf, zs * 0.0)
+    prob = srps.build_problem(data.I, data.mask, data.K, data.sf, zs * 0.0,
+                              image_dtype=cfg.image_dtype)
     # z0s is the masked smoothed LR depth (SRPS.cu:236-239).
     prob = prob._replace(z0s=jax.numpy.asarray(zs) * prob.masks)
     state = srps.init_state(prob, z_init)

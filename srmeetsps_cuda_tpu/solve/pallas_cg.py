@@ -250,7 +250,14 @@ def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20,
 
     The pipelined variant double-buffers every stream (2x the footprint);
     the single-buffer variants fit up to ~2.7k-wide grids at TH=64.
+
+    Also requires a TPU backend (the kernels are Mosaic-compiled; on CPU
+    they only run in interpret mode, which tests opt into explicitly).
     """
+    import jax
+
+    if not INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+        return False
     if sf not in (1, 2, 4):
         return False
     geo = geometry(h, w)

@@ -14,8 +14,10 @@ Numerics are identical to pallas_cg_fused (same per-band arithmetic; the
 only reduction-order difference is the pw/rr accumulation, which is the
 same band order).
 
-VMEM: 2 slots x (r, p, 11-field F, w) at TH=64 is ~11 MB for a 1280-wide
-image — ``supported()`` gates width.
+VMEM: 2 slots x (r, p, 8-field packed F, w) at TH=64 is ~9 MB for a
+1280-wide image — ``supported()`` gates width. The gradient masks ride as
+one int32 bitfield row (stack_fields_packed), cutting input traffic ~23%
+vs the unpacked 11-field layout.
 """
 
 from __future__ import annotations
@@ -31,12 +33,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_cg as _pcg
 from .pallas_cg import (
-    RING, TH, P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW,
-    _shift, _tilesum, geometry, pad_field, unpad_field, stack_fields,
-    make_ktw,
+    RING, TH, P11, P12, P13, P22, P23, P33,
+    _shift, _tilesum, geometry, pad_field, unpad_field, make_ktw,
 )
 from .pallas_cg_fused import TX, TR, TW_, TP0, TP1, S_R0, S_R1, S_PW, S_RR, \
     S_ACT, S_BETA, S_ALPHA
+
+# Packed field layout: 7 f32 coefficient rows + one row of gradient-mask
+# bits (int32 bit-packed, stored bitcast as f32) — 8 DMA'd rows instead of
+# the 11 of the unpacked layout, a ~23% input-traffic cut on a kernel that
+# runs at the HBM roofline.
+KTW = 6
+MB = 7
+
+
+def stack_fields_packed(op, gm, ktw, geo):
+    mb = (gm.fwd_x.astype(jnp.int32)
+          | (gm.bwd_x.astype(jnp.int32) << 1)
+          | (gm.fwd_y.astype(jnp.int32) << 2)
+          | (gm.bwd_y.astype(jnp.int32) << 3))
+    mb_f = jax.lax.bitcast_convert_type(mb, jnp.float32)
+    F = jnp.stack([op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+                   ktw, mb_f])
+    return pad_field(F, geo)
+
+
+def _unpack_masks(mb_f32):
+    mb = pltpu.bitcast(mb_f32, jnp.int32)
+    f32 = lambda x: x.astype(jnp.float32)
+    return (f32(mb & 1), f32((mb >> 1) & 1),
+            f32((mb >> 2) & 1), f32((mb >> 3) & 1))
 
 
 def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
@@ -129,8 +155,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
                 beta = scal[0, S_BETA]
                 p = r_bufs[slot] + beta * p_bufs[slot]
                 f = f_bufs.at[slot]
-                fwd_x, bwd_x = f[FX], f[BX]
-                fwd_y, bwd_y = f[FY], f[BY]
+                fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
                 g = fwd_x * (_shift(p, 0, 1) - p) + bwd_x * (p - _shift(p, 0, -1))
                 h = fwd_y * (_shift(p, 1, 0) - p) + bwd_y * (p - _shift(p, -1, 0))
                 t1 = f[P11] * g + f[P12] * h - f[P13] * p
@@ -175,7 +200,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
             body,
             r_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
             p_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
-            f_bufs=pltpu.VMEM((2, 11, TB, wp), jnp.float32),
+            f_bufs=pltpu.VMEM((2, 8, TB, wp), jnp.float32),
             w_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
             in_sems=pltpu.SemaphoreType.DMA((2, 3)),
             out_sems=pltpu.SemaphoreType.DMA((2, 2)),
@@ -272,7 +297,7 @@ def cg_pallas_pipelined(
     if sf not in (1, 2, 4):
         raise ValueError(f"unsupported sf: {sf}")
     geo = geometry(h, w)
-    F = stack_fields(op, gm, ktw, geo)
+    F = stack_fields_packed(op, gm, ktw, geo)
     T = jnp.stack([
         pad_field(jnp.asarray(x0, jnp.float32), geo),
         pad_field(jnp.asarray(b_residual, jnp.float32), geo),
