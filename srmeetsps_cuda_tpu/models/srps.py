@@ -390,8 +390,14 @@ def estimate_depth(
             precond=precond,
         )
     z_new = res.x * prob.mask
+    energy = depth_energy(z_new, op, prob, sf, lam)
+    return z_new, energy, res.iterations
 
-    # Energy || KT z - z0s ||^2 + lam || A z - B ||^2 via the same collapse.
+
+def depth_energy(z_new, op: DepthOperator, prob: SRPSProblem, sf: int,
+                 lam: float):
+    """|| KT z - z0s ||^2 + lam || A z - B ||^2 via the Gram-field collapse
+    (devicecalls.cu:762-767 computes the same quantity with two SpMVs)."""
     g = gradops.grad_x(z_new, prob.gm)
     h = gradops.grad_y(z_new, prob.gm)
     e_data = (
@@ -401,8 +407,7 @@ def estimate_depth(
         + op.const
     )
     r1 = gridops.resample_masked(z_new, prob.masks, sf) - prob.z0s
-    energy = jnp.sum(r1 * r1) + lam * e_data
-    return z_new, energy, res.iterations
+    return jnp.sum(r1 * r1) + lam * e_data
 
 
 # ---------------------------------------------------------------------------

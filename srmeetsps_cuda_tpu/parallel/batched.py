@@ -31,6 +31,41 @@ def stack_states(states) -> srps.SRPSState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
+    """One outer iteration for a stacked batch, with the depth CG running
+    as ONE lane-batched Pallas launch (vmap of the manual-DMA kernel is
+    unsupported on TPU; everything else vmaps as plain jnp)."""
+    from ..ops import gradients as gradops
+    from ..ops.normals import normals_from_depth
+    from ..solve.pallas_cg import make_ktw
+    from ..solve.pallas_cg_pipe import cg_pallas_pipelined_batched
+
+    lam = cfg.lam
+    s = jax.vmap(srps.estimate_lighting)(probs, states.rho, states.N)
+    mom = jax.vmap(srps.s_moments)(probs, s)
+    rho = jax.vmap(srps.estimate_albedo)(probs, mom, states.N, states.rho)
+    op = jax.vmap(lambda p, m, r, d: srps.build_depth_operator(p, m, r, d, lam)
+                  )(probs, mom, rho, states.dz)
+    mv = lambda v, o, p: srps.depth_matvec(v, o, p, sf, lam)
+    rhs = jax.vmap(lambda o, p: srps.depth_rhs(o, p, sf, lam))(op, probs)
+    b_res = rhs - jax.vmap(mv)(states.z, op, probs)
+    ktw = jax.vmap(lambda m, ms: make_ktw(m, ms, sf))(probs.mask, probs.masks)
+    x, cg_iters, _ = cg_pallas_pipelined_batched(
+        states.z, b_res, op, probs.gm, ktw, sf=sf, lam=lam,
+        tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+    z = x * probs.mask
+    energy = jax.vmap(lambda zz, o, p: srps.depth_energy(zz, o, p, sf, lam)
+                      )(z, op, probs)
+    zx = jax.vmap(gradops.grad_x)(z, probs.gm)
+    zy = jax.vmap(gradops.grad_y)(z, probs.gm)
+    N, dz = jax.vmap(normals_from_depth)(z, zx, zy, probs.xx, probs.yy,
+                                         probs.mask, probs.fx, probs.fy)
+    return srps.SRPSState(
+        z=z, rho=rho, s=s, N=N, dz=dz, energy=energy,
+        last_energy=states.energy, iteration=states.iteration + 1,
+        cg_iters=cg_iters)
+
+
 @partial(jax.jit, static_argnames=("sf", "cfg"))
 def solve_batched(
     states: srps.SRPSState,
@@ -39,8 +74,15 @@ def solve_batched(
     cfg: SolverConfig,
 ) -> Tuple[srps.SRPSState, jax.Array]:
     """Solve B problems in lockstep. Returns (final_states, energy_trace)
-    with trace shape (B, max_iterations + 2)."""
-    iterate = jax.vmap(lambda st, pb: srps.srps_iteration(st, pb, sf, cfg))
+    with trace shape (B, max_iterations + 2).
+
+    With cfg.use_pallas the depth CG of all lanes runs as one lane-batched
+    Pallas launch per outer iteration; otherwise the whole iteration is
+    vmap'ed jnp."""
+    if cfg.use_pallas:
+        iterate = lambda st, pb: _iteration_batched_pallas(st, pb, sf, cfg)
+    else:
+        iterate = jax.vmap(lambda st, pb: srps.srps_iteration(st, pb, sf, cfg))
     stop_fn = jax.vmap(lambda st: srps.should_stop(st, cfg))
     trace_len = cfg.max_iterations + 2
 

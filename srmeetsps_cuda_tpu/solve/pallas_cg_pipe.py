@@ -67,11 +67,16 @@ def _unpack_masks(mb_f32):
 
 def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
             *, lam: float, sf: int, n_bands: int):
-    it = pl.program_id(0)
-    phase = pl.program_id(1)
-    tol_sq = consts_ref[0, 0]
-    r1_init = consts_ref[0, 1]
-    max_iter = consts_ref[0, 2]
+    """Grid (B, max_iter+1, 2): lanes (batched problems) run sequentially
+    on the core; per-lane CG scalar state lives in the SMEM workspace and
+    is re-initialised at each lane's first step, so per-lane stopping is
+    exact. B=1 is the single-solve case."""
+    lane = pl.program_id(0)
+    it = pl.program_id(1)
+    phase = pl.program_id(2)
+    tol_sq = consts_ref[lane, 0]
+    r1_init = consts_ref[lane, 1]
+    max_iter = consts_ref[lane, 2]
     wp = T_out.shape[-1]
     TB = TH + 2 * RING
 
@@ -80,8 +85,8 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
         scal[0, S_R0] = 0.0
         scal[0, S_R1] = r1_init
         scal[0, S_ACT] = 1.0
-        iters_ref[0, 0] = 0.0
-        r1_ref[0, 0] = r1_init
+        iters_ref[lane, 0] = 0.0
+        r1_ref[lane, 0] = r1_init
 
     @pl.when(phase == 0)
     def _():
@@ -96,7 +101,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
 
         @pl.when(active > 0.0)
         def _():
-            iters_ref[0, 0] += 1.0
+            iters_ref[lane, 0] += 1.0
 
     active = scal[0, S_ACT] > 0.0
     p_src = TP0 + lax.rem(it, 2)
@@ -109,36 +114,36 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
             def start_in(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
-                    T_out.at[TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
+                    T_out.at[lane, TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
                     in_sems.at[slot, 0]).start()
                 pltpu.make_async_copy(
-                    T_out.at[p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
+                    T_out.at[lane, p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
                     in_sems.at[slot, 1]).start()
                 pltpu.make_async_copy(
-                    F_hbm.at[:, pl.ds(b * TH, TB), :], f_bufs.at[slot],
+                    F_hbm.at[lane, :, pl.ds(b * TH, TB), :], f_bufs.at[slot],
                     in_sems.at[slot, 2]).start()
 
             def wait_in(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
-                    T_out.at[TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
+                    T_out.at[lane, TR, pl.ds(b * TH, TB), :], r_bufs.at[slot],
                     in_sems.at[slot, 0]).wait()
                 pltpu.make_async_copy(
-                    T_out.at[p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
+                    T_out.at[lane, p_src, pl.ds(b * TH, TB), :], p_bufs.at[slot],
                     in_sems.at[slot, 1]).wait()
                 pltpu.make_async_copy(
-                    F_hbm.at[:, pl.ds(b * TH, TB), :], f_bufs.at[slot],
+                    F_hbm.at[lane, :, pl.ds(b * TH, TB), :], f_bufs.at[slot],
                     in_sems.at[slot, 2]).wait()
 
             def wait_out(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
                     p_bufs.at[slot, pl.ds(RING, TH), :],
-                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot, 0]).wait()
                 pltpu.make_async_copy(
                     w_bufs.at[slot],
-                    T_out.at[TW_, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, TW_, pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot, 1]).wait()
 
             start_in(0)
@@ -181,11 +186,11 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
                 w_bufs[slot] = w
                 pltpu.make_async_copy(
                     p_bufs.at[slot, pl.ds(RING, TH), :],
-                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot, 0]).start()
                 pltpu.make_async_copy(
                     w_bufs.at[slot],
-                    T_out.at[TW_, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, TW_, pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot, 1]).start()
                 return pw + jnp.sum(pin * w)
 
@@ -220,26 +225,26 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
             def start_in(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
-                    T_out.at[pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
                     s_bufs.at[slot], in_sems.at[slot, 0]).start()
                 pltpu.make_async_copy(
-                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     p_bufs.at[slot], in_sems.at[slot, 1]).start()
 
             def wait_in(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
-                    T_out.at[pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, pl.ds(TX, 3), pl.ds(b * TH + RING, TH), :],
                     s_bufs.at[slot], in_sems.at[slot, 0]).wait()
                 pltpu.make_async_copy(
-                    T_out.at[p_dst, pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     p_bufs.at[slot], in_sems.at[slot, 1]).wait()
 
             def wait_out(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
                     s_bufs.at[slot, pl.ds(TX, 2)],
-                    T_out.at[pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot]).wait()
 
             start_in(0)
@@ -264,7 +269,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
                 s_bufs[slot, TR] = r
                 pltpu.make_async_copy(
                     s_bufs.at[slot, pl.ds(TX, 2)],
-                    T_out.at[pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
+                    T_out.at[lane, pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot]).start()
                 return rr + jnp.sum(r * r)
 
@@ -285,36 +290,45 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
         # Rotate scalars at end of iteration.
         scal[0, S_R0] = scal[0, S_R1]
         scal[0, S_R1] = scal[0, S_RR]
-        r1_ref[0, 0] = scal[0, S_RR]
+        r1_ref[lane, 0] = scal[0, S_RR]
 
 
-def cg_pallas_pipelined(
+def cg_pallas_pipelined_batched(
     x0, b_residual, op, gm, ktw, *, sf: int, lam: float,
     tol: float = 1e-9, max_iter: int = 100,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Single-launch, band-pipelined CG. Same semantics as cg_pallas."""
-    h, w = x0.shape
+    """Lane-batched single-launch CG.
+
+    All array args carry a leading batch dim B (op/gm field-wise). Lanes
+    execute sequentially on the core with exact per-lane stopping; the win
+    over vmap-of-jnp-CG is that the whole batch is ONE kernel launch at
+    the bandwidth roofline. Returns (x (B,h,w), iters (B,), r1 (B,)).
+    """
+    B, h, w = x0.shape
     if sf not in (1, 2, 4):
         raise ValueError(f"unsupported sf: {sf}")
     geo = geometry(h, w)
-    F = stack_fields_packed(op, gm, ktw, geo)
+    F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
+        op, gm, ktw)
+    zero = jnp.zeros((B,) + geo.shape, jnp.float32)
     T = jnp.stack([
-        pad_field(jnp.asarray(x0, jnp.float32), geo),
-        pad_field(jnp.asarray(b_residual, jnp.float32), geo),
-        jnp.zeros(geo.shape, jnp.float32),
-        jnp.zeros(geo.shape, jnp.float32),
-        jnp.zeros(geo.shape, jnp.float32),
-    ])
-    r1_0 = jnp.sum(T[1] * T[1])
+        jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32)),
+        jax.vmap(lambda a: pad_field(a, geo))(
+            jnp.asarray(b_residual, jnp.float32)),
+        zero, zero, zero,
+    ], axis=1)  # (B, 5, Hp+2R, Wp)
+    r1_0 = jnp.sum(T[:, 1] * T[:, 1], axis=(1, 2))  # (B,)
     consts = jnp.stack([
-        jnp.float32(tol) ** 2, r1_0, jnp.float32(max_iter)
-    ]).reshape(1, 3)
+        jnp.full((B,), jnp.float32(tol) ** 2),
+        r1_0,
+        jnp.full((B,), jnp.float32(max_iter)),
+    ], axis=1)  # (B, 3)
 
     n_bands = geo.hp // TH
     kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands)
     T_new, iters, r1, _scal = pl.pallas_call(
         kernel,
-        grid=(max_iter + 1, 2),
+        grid=(B, max_iter + 1, 2),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -328,14 +342,27 @@ def cg_pallas_pipelined(
         ],
         out_shape=[
             jax.ShapeDtypeStruct(T.shape, T.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_pcg.INTERPRET,
     )(consts, T, F)
-    return (unpad_field(T_new[TX], geo),
-            iters[0, 0].astype(jnp.int32),
-            r1[0, 0])
+    x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])
+    return x, iters[:, 0].astype(jnp.int32), r1[:, 0]
+
+
+def cg_pallas_pipelined(
+    x0, b_residual, op, gm, ktw, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-launch, band-pipelined CG. Same semantics as cg_pallas."""
+    add_b = lambda a: jnp.asarray(a)[None]
+    x, iters, r1 = cg_pallas_pipelined_batched(
+        add_b(x0), add_b(b_residual),
+        jax.tree_util.tree_map(add_b, op),
+        jax.tree_util.tree_map(add_b, gm),
+        add_b(ktw), sf=sf, lam=lam, tol=tol, max_iter=max_iter)
+    return x[0], iters[0], r1[0]

@@ -100,3 +100,67 @@ class TestFullCG:
         d = np.asarray(z_pal) - np.asarray(z_ref)
         rms = np.sqrt(np.mean(np.asarray(z_ref) ** 2))
         assert np.sqrt(np.mean(d**2)) / rms < 5e-2
+
+
+class TestBatchedCG:
+    def test_lane_batched_matches_per_lane(self, rng):
+        """Lane-batched single-launch CG == per-lane single solves."""
+        from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+            cg_pallas_pipelined, cg_pallas_pipelined_batched)
+        import functools
+        import jax
+
+        sf = 2
+        lanes = []
+        for b in range(2):
+            prob, st, mom, op = _problem(np.random.default_rng(b), 32, 32, sf)
+            mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                                   sf=sf, lam=1.0)
+            rhs = srps.depth_rhs(op, prob, sf, 1.0)
+            b_res = rhs - mv(st.z)
+            ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+            lanes.append((st.z, b_res, op, prob.gm, ktw))
+        stack = lambda i: jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *[ln[i] for ln in lanes])
+        xb, kb, rb = cg_pallas_pipelined_batched(
+            stack(0), stack(1), stack(2), stack(3), stack(4),
+            sf=sf, lam=1.0, tol=1e-4, max_iter=12)
+        for b in range(2):
+            x1, k1, r1 = cg_pallas_pipelined(
+                *lanes[b], sf=sf, lam=1.0, tol=1e-4, max_iter=12)
+            assert int(kb[b]) == int(k1)
+            np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(x1),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_solve_batched_pallas_matches_jnp(self, rng):
+        """solve_batched with the lane-batched pallas CG tracks the vmap-jnp
+        path (energies; z drifts within unconverged-CG bounds)."""
+        from srmeetsps_cuda_tpu.parallel import batched
+        from conftest import random_mask
+        import jax
+
+        sf = 2
+        probs, states = [], []
+        for b in range(2):
+            r = np.random.default_rng(b + 10)
+            mask = random_mask(r, 32, 32)
+            I = r.random((3, 3, 32, 32)).astype(np.float32)
+            K = [[300.0, 0, 15.5], [0, 300.0, 15.5], [0, 0, 1]]
+            z0s = (r.random((16, 16)).astype(np.float32) + 0.5)
+            pb = srps.build_problem(I, mask, K, sf, z0s)
+            probs.append(pb)
+            states.append(srps.init_state(
+                pb, (r.random((32, 32)).astype(np.float32) + 0.5) * mask))
+        pb_b = batched.stack_problems(probs)
+        st_b = batched.stack_states(states)
+        cfg_j = SolverConfig(max_iterations=2)
+        cfg_p = SolverConfig(max_iterations=2, use_pallas=True)
+        fj, tj = batched.solve_batched(st_b, pb_b, sf, cfg_j)
+        fp, tp = batched.solve_batched(st_b, pb_b, sf, cfg_p)
+        for b in range(2):
+            nj = int(np.isfinite(np.asarray(tj)[b]).sum())
+            np_ = int(np.isfinite(np.asarray(tp)[b]).sum())
+            assert abs(nj - np_) <= 1
+            m = min(nj, np_)
+            np.testing.assert_allclose(np.asarray(tp)[b, :m],
+                                       np.asarray(tj)[b, :m], rtol=1e-2)
