@@ -33,8 +33,11 @@ def box_downsample(z: jax.Array, sf: int) -> jax.Array:
     *lead, h, w = z.shape
     if h % sf or w % sf:
         raise ValueError(f"box_downsample: ({h},{w}) not divisible by sf={sf}")
-    zr = z.reshape(*lead, h // sf, sf, w // sf, sf)
-    return jnp.mean(zr, axis=(-3, -1))
+    # reduce_window instead of reshape+mean: the reshape splits the TPU
+    # lane dimension and forces a relayout (~3x slower on v5e).
+    window = (1,) * len(lead) + (sf, sf)
+    s = jax.lax.reduce_window(z, 0.0, jax.lax.add, window, window, "VALID")
+    return s / float(sf * sf)
 
 
 def box_upsample_adjoint(u: jax.Array, sf: int) -> jax.Array:
