@@ -43,9 +43,9 @@ reduction is masked-exact and all shapes are static for XLA.
 
 from __future__ import annotations
 
-import dataclasses
+
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,16 +22,16 @@ Numerics mirror models.srps.depth_matvec / solve.cg exactly.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import gradients as gradops
+
 from ..ops import grid as gridops
-from ..ops.gradients import GradientMasks
+
 
 
 def _halo_rows(v, k: int, axis_name: str):

@@ -24,7 +24,7 @@ provide Jacobi as the TPU-appropriate preconditioner.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -36,7 +36,7 @@ from .pallas_cg import (
     RING, TH, P11, P12, P13, P22, P23, P33,
     _shift, _tilesum, geometry, pad_field, unpad_field, make_ktw,
 )
-from .pallas_cg_fused import TX, TR, TW_, TP0, TP1, S_R0, S_R1, S_PW, S_RR, \
+from .pallas_cg_fused import TX, TR, TW_, TP0, S_R0, S_R1, S_PW, S_RR, \
     S_ACT, S_BETA, S_ALPHA
 
 # Packed field layout: 7 f32 coefficient rows + one row of gradient-mask
