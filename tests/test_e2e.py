@@ -72,3 +72,50 @@ def test_fused_matches_stepwise_e2e(rng):
     assert int(final_s.iteration) == int(final_f.iteration)
     np.testing.assert_allclose(float(final_f.energy), float(final_s.energy),
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [
+    dict(n=1, c=3),   # single image
+    dict(n=3, c=1),   # grayscale
+])
+def test_e2e_degenerate_counts(rng, shape):
+    data, _ = synthetic_data(rng, h=32, w=32, sf=2, **shape)
+    cfg = SolverConfig(inpaint_iters=32, max_iterations=2)
+    final, metrics = solve(data, cfg, RuntimeConfig(), verbose=False)
+    assert np.isfinite(float(final.energy))
+
+
+def test_e2e_full_mask(rng):
+    """All pixels masked: boundary fallbacks everywhere, LR mask full."""
+    data, _ = synthetic_data(rng, h=32, w=32, sf=2)
+    data = data.__class__(I=data.I, K=data.K,
+                          mask=np.ones_like(data.mask), sf=data.sf,
+                          z0=data.z0)
+    cfg = SolverConfig(inpaint_iters=32, max_iterations=2)
+    final, metrics = solve(data, cfg, RuntimeConfig(), verbose=False)
+    assert np.isfinite(float(final.energy))
+
+
+def test_pallas_sf1_interpret(rng):
+    """sf=1 (no super-resolution, pure photometric refinement) through the
+    pallas kernels in interpret mode."""
+    from srmeetsps_cuda_tpu.solve import pallas_cg
+    from srmeetsps_cuda_tpu.models import srps as m
+    import jax.numpy as jnp
+
+    old = pallas_cg.INTERPRET
+    pallas_cg.INTERPRET = True
+    try:
+        mask = random_mask(rng, 32, 32)
+        I = rng.random((3, 3, 32, 32)).astype(np.float32)
+        K = [[300.0, 0, 15.5], [0, 300.0, 15.5], [0, 0, 1]]
+        z0s = (rng.random((32, 32)).astype(np.float32) + 0.5)
+        prob = m.build_problem(I, mask, K, 1, z0s)
+        st = m.init_state(prob, (rng.random((32, 32)).astype(np.float32) + 0.5) * mask)
+        cfg_p = SolverConfig(use_pallas=True, cg_max_iter=10)
+        cfg_j = SolverConfig(cg_max_iter=10)
+        sp = m.srps_iteration(st, prob, 1, cfg_p)
+        sj = m.srps_iteration(st, prob, 1, cfg_j)
+        np.testing.assert_allclose(float(sp.energy), float(sj.energy), rtol=1e-2)
+    finally:
+        pallas_cg.INTERPRET = old
