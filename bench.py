@@ -51,6 +51,46 @@ def synthetic_dataset(h=960, w=1280, sf=2, n=20, c=3):
     return ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
 
 
+def bench_batched(B: int = 2):
+    """BASELINE config 4: batched multi-object throughput (lane-batched
+    Pallas CG). Invoke with `python bench.py batched`."""
+    import jax
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.config import SolverConfig
+    from srmeetsps_cuda_tpu.parallel import batched
+    from srmeetsps_cuda_tpu.runtime.solver import prepare
+
+    ds = find_dataset()
+    if ds:
+        from srmeetsps_cuda_tpu.io.image_loader import load_image_dataset
+
+        data = load_image_dataset(ds)
+    else:
+        data = synthetic_dataset()
+    cfg = SolverConfig(use_pallas=True)
+    prob, st = prepare(data, cfg)
+    prob_b = batched.stack_problems([prob] * B)
+    st_b = batched.stack_states([st] * B)
+    final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
+    float(np.asarray(final.z).sum())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
+        float(np.asarray(final.z).sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": f"mitten_sf2_batched{B}_solve",
+        "value": round(B / dt, 4),
+        "unit": "solves/sec",
+        "vs_baseline": round(BASELINE_SECONDS / (dt / B), 3),
+        "seconds_per_batch": round(dt, 4),
+        "iterations": np.asarray(final.iteration).tolist(),
+    }))
+
+
 def main():
     import jax
 
@@ -106,4 +146,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "batched":
+        bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    else:
+        main()
