@@ -91,6 +91,64 @@ def bench_batched(B: int = 2):
     }))
 
 
+def _timed_solve(data, cfg, metric):
+    """Shared fused-solve timing + one-line JSON output."""
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.runtime.solver import prepare, _jit_solve_fused
+
+    sf = int(data.sf)
+    prob, st = prepare(data, cfg)
+    final, trace = _jit_solve_fused(st, prob, sf, cfg)
+    float(np.asarray(final.z).sum())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, trace = _jit_solve_fused(st, prob, sf, cfg)
+        float(np.asarray(final.z).sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(1.0 / dt, 4),
+        "unit": "solves/sec",
+        "vs_baseline": round(BASELINE_SECONDS / dt, 3),
+        "seconds_per_solve": round(dt, 4),
+        "iterations": int(final.iteration),
+        "final_energy": float(final.energy),
+    }))
+
+
+def bench_sf4():
+    """BASELINE config 3: SF=4 upscaling (Mitten depth further decimated).
+    Invoke with `python bench.py sf4`."""
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.config import SolverConfig
+    from srmeetsps_cuda_tpu.io.image_loader import ProblemData
+
+    ds = find_dataset()
+    if ds:
+        from srmeetsps_cuda_tpu.io.image_loader import load_image_dataset
+
+        d2 = load_image_dataset(ds)
+        data = ProblemData(I=d2.I, K=d2.K, mask=d2.mask, sf=4,
+                           z0=d2.z0[:, ::2, ::2])
+    else:
+        data = synthetic_dataset(sf=4)
+    _timed_solve(data, SolverConfig(use_pallas=True), "mitten_sf4_e2e_solve")
+
+
+def bench_1080p():
+    """BASELINE config 5's problem size on ONE chip (the sharded path is
+    exercised by tests/dryrun; no multi-chip hardware here).
+    Invoke with `python bench.py 1080p`."""
+    from srmeetsps_cuda_tpu.config import SolverConfig
+
+    data = synthetic_dataset(h=1088, w=1920, sf=2, n=12)
+    _timed_solve(data, SolverConfig(use_pallas=True), "1080p_sf2_e2e_solve")
+
+
 def main():
     import jax
 
@@ -146,7 +204,12 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "batched":
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "batched":
         bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif mode == "sf4":
+        bench_sf4()
+    elif mode == "1080p":
+        bench_1080p()
     else:
         main()
