@@ -74,7 +74,7 @@ def main(argv=None) -> int:
     import jax
 
     devs = jax.devices()
-    if args.device and args.device < len(devs):
+    if 0 <= args.device < len(devs):
         jax.config.update("jax_default_device", devs[args.device])
 
     if args.dstype == "matlab":

@@ -111,6 +111,13 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
         HBM traffic of the two per-iteration passes over I (reductions
         still accumulate in f32) at a small accuracy cost.
     """
+    # Binarize with the reference's imask predicate (mask != 0). Note the
+    # reference is internally inconsistent for non-binary (anti-aliased)
+    # masks: imask uses != 0 (SRPS.cu:152-156) while the masked gathers'
+    # copy_if uses an is-one predicate (devicecalls.cuh:19-24) and the LR
+    # mask is D @ raw-mask thresholded at < 1 (SRPS.cu:110-111). We
+    # binarize first, which makes the two predicates agree; for genuinely
+    # binary masks (all shipped datasets) the behaviours are identical.
     mask = (jnp.asarray(mask) != 0).astype(jnp.float32)
     h, w = mask.shape
     I = jnp.asarray(I, jnp.float32) * mask
@@ -164,12 +171,16 @@ def init_state(prob: SRPSProblem, z_init) -> SRPSState:
 # ---------------------------------------------------------------------------
 
 
-def estimate_lighting(prob: SRPSProblem, rho, N) -> jax.Array:
+def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     """Per-(image, channel) first-order SH lighting least squares.
 
     Minimises ||diag(rho_c) N s - I_ic||^2 over masked pixels. The
     reference's warm-started exact-tolerance CG on the 4x4 normal equations
-    converges to the same solution (devicecalls.cu:408-444).
+    converges to the same solution (devicecalls.cu:408-444). For a
+    degenerate channel (e.g. rho driven to 0 everywhere: ATA singular) the
+    reference's CG sees a zero residual at the warm start and never updates
+    s — so when the direct solve produces non-finite values, ``s_prev`` is
+    kept instead.
     """
     n, c, h, w = prob.I.shape
     T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
@@ -178,7 +189,11 @@ def estimate_lighting(prob: SRPSProblem, rho, N) -> jax.Array:
     ATb = jnp.einsum("cap,ncp->nca", T, If, precision=HI,
                      preferred_element_type=jnp.float32)  # (n,c,4)
     ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
-    return jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
+    sol = jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
+    if s_prev is None:
+        return sol
+    ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
+    return jnp.where(ok, sol, s_prev)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +375,11 @@ def estimate_depth(
     h, w = z.shape
     from ..solve import pallas_cg as _pcg
 
-    if cfg.use_pallas and _pcg.supported(h, w, sf, pipelined=False):
+    # The Pallas kernels are unpreconditioned; when the user asked for
+    # Jacobi preconditioning, route to the jnp PCG instead of silently
+    # running a different solver trajectory.
+    if (cfg.use_pallas and not cfg.jacobi_preconditioner
+            and _pcg.supported(h, w, sf, pipelined=False)):
         from ..solve.pallas_cg import cg_pallas, make_ktw
         from ..solve.pallas_cg_fused import cg_pallas_fused
         from ..solve.pallas_cg_pipe import cg_pallas_pipelined
@@ -417,7 +436,7 @@ def depth_energy(z_new, op: DepthOperator, prob: SRPSProblem, sf: int,
 
 def srps_iteration(state: SRPSState, prob: SRPSProblem, sf: int, cfg: SolverConfig) -> SRPSState:
     """Lighting -> albedo -> depth -> normals (SRPS.cu:276-335 body)."""
-    s = estimate_lighting(prob, state.rho, state.N)
+    s = estimate_lighting(prob, state.rho, state.N, state.s)
     mom = s_moments(prob, s)
     rho = estimate_albedo(prob, mom, state.N, state.rho)
     z, energy, cg_iters = estimate_depth(prob, mom, rho, state.dz, state.z, sf, cfg)

@@ -41,7 +41,7 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     from ..solve.pallas_cg_pipe import cg_pallas_pipelined_batched
 
     lam = cfg.lam
-    s = jax.vmap(srps.estimate_lighting)(probs, states.rho, states.N)
+    s = jax.vmap(srps.estimate_lighting)(probs, states.rho, states.N, states.s)
     mom = jax.vmap(srps.s_moments)(probs, s)
     rho = jax.vmap(srps.estimate_albedo)(probs, mom, states.N, states.rho)
     op = jax.vmap(lambda p, m, r, d: srps.build_depth_operator(p, m, r, d, lam)
@@ -79,7 +79,14 @@ def solve_batched(
     With cfg.use_pallas the depth CG of all lanes runs as one lane-batched
     Pallas launch per outer iteration; otherwise the whole iteration is
     vmap'ed jnp."""
-    if cfg.use_pallas:
+    from ..solve import pallas_cg as _pcg
+
+    h, w = states.z.shape[-2:]
+    # Same VMEM/width gate estimate_depth applies: unsupported grids (e.g.
+    # 1920-wide at the pipelined kernel's double-buffered footprint) fall
+    # back to the vmap'ed jnp iteration instead of failing Mosaic compile.
+    if (cfg.use_pallas and not cfg.jacobi_preconditioner
+            and _pcg.supported(h, w, sf, pipelined=True)):
         iterate = lambda st, pb: _iteration_batched_pallas(st, pb, sf, cfg)
     else:
         iterate = jax.vmap(lambda st, pb: srps.srps_iteration(st, pb, sf, cfg))

@@ -42,7 +42,12 @@ class Timer:
 
     def end(self, *block_on):
         for x in block_on:
-            jax.block_until_ready(x)
+            # jax.block_until_ready does not block reliably through the
+            # axon TPU tunnel (CLAUDE.md); a host transfer of one element
+            # does — it cannot complete until the producing computation has.
+            leaves = jax.tree_util.tree_leaves(x)
+            for leaf in leaves:
+                np.asarray(jax.numpy.ravel(leaf)[:1])
         self.elapsed = time.perf_counter() - self.t0
         return self.elapsed
 

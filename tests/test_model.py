@@ -182,3 +182,37 @@ class TestIterationAndFusedLoop:
         # accumulated roundoff, not bitwise.
         np.testing.assert_allclose(
             np.asarray(trace)[: len(energies)], energies, rtol=1e-3)
+
+
+class TestLightingSingular:
+    def test_degenerate_channel_keeps_previous_s(self, small_problem):
+        """All-zero rho on one channel makes that channel's ATA singular;
+        the reference's warm-started CG never updates s there
+        (devicecalls.cu:408-444, zero residual at warm start)."""
+        p = small_problem
+        prob = build(p)
+        st = srps.init_state(prob, p["z"])
+        rho = st.rho.at[1].set(0.0)  # kill channel 1 everywhere
+        s_prev = jnp.asarray(p["s"])
+        s_new = np.asarray(srps.estimate_lighting(prob, rho, st.N, s_prev))
+        assert np.all(np.isfinite(s_new))
+        np.testing.assert_array_equal(s_new[:, 1], np.asarray(s_prev)[:, 1])
+        # Healthy channels still get a genuine (different) solution.
+        assert not np.allclose(s_new[:, 0], np.asarray(s_prev)[:, 0])
+
+    def test_iteration_survives_degenerate_channel(self, small_problem):
+        """A full srps_iteration with a dead channel must stay finite (the
+        NaN would otherwise poison energy and the stopping rule)."""
+        p = small_problem
+        prob = build(p)
+        # Zero channel 2 of the images: albedo's closed form keeps rho_prev
+        # there, and lighting's guard keeps s.
+        prob = prob._replace(I=prob.I.at[:, 2].set(0.0),
+                             SI2=prob.SI2.at[2].set(0.0))
+        st = srps.init_state(prob, p["z"])
+        st = st._replace(rho=st.rho.at[2].set(0.0))
+        cfg = SolverConfig()
+        out = srps.srps_iteration(st, prob, p["sf"], cfg)
+        assert np.isfinite(float(out.energy))
+        assert np.all(np.isfinite(np.asarray(out.s)))
+        assert np.all(np.isfinite(np.asarray(out.z)))
