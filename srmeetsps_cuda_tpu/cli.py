@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-format", choices=["mat", "npz"], default="mat")
     p.add_argument("--viz", action="store_true",
                    help="save PNG visualizations (replaces cv::imshow)")
+    p.add_argument("--dump-operators", action="store_true",
+                   help="dump D/Dx/Dy/KT as ii/jj/kk triplet MAT files "
+                   "(reference sparse golden channel)")
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--resume-from", default=None)
     p.add_argument("--pallas", action="store_true",
@@ -102,6 +105,7 @@ def main(argv=None) -> int:
         save_visualizations=args.viz,
         metrics_jsonl=args.metrics_jsonl,
         resume_from=args.resume_from,
+        dump_operators=args.dump_operators,
         fused_outer_loop=args.fused,
         nan_check=args.nan_check,
         profile_dir=args.profile_dir,

@@ -89,6 +89,10 @@ class RuntimeConfig:
     metrics_jsonl: Optional[str] = None
     # Resume from a checkpoint dumped by a previous run.
     resume_from: Optional[str] = None
+    # Dump the designed-out sparse operators (D/Dx/Dy/KT) as ii/jj/kk
+    # triplet MAT files (the reference's WRITE_MAT_FROM_DEVICE_SPARSE
+    # channel, Utilities.cpp:85-122) for MATLAB diffing.
+    dump_operators: bool = False
     # Debug-NaN mode: makes XLA raise on the first NaN-producing op
     # (jax_debug_nans) — the JAX analog of running under a sanitizer.
     nan_check: bool = False

@@ -25,6 +25,33 @@ def save_vector_mat(path: str, data: np.ndarray):
     sio.savemat(path, {"x": np.asarray(data).reshape(-1, 1)})
 
 
+def save_sparse_mat(path: str, ii, jj, kk, rows: int, cols: int):
+    """COO triplets + dims, the reference's write_MAT_sparse layout
+    (Utilities.cpp:85-122): int32 ``ii``/``jj`` (0-based, as stored on
+    device), float32 ``kk``, scalar ``rows``/``cols``. MATLAB-diffable via
+    ``sparse(ii+1, jj+1, kk, rows, cols)``."""
+    import scipy.io as sio
+
+    sio.savemat(path, {
+        "ii": np.asarray(ii, np.int32).reshape(-1, 1),
+        "jj": np.asarray(jj, np.int32).reshape(-1, 1),
+        "kk": np.asarray(kk, np.float32).reshape(-1, 1),
+        "rows": np.int32(rows),
+        "cols": np.int32(cols),
+    })
+
+
+def dump_preprocessing(dirpath: str, zs, z, mask):
+    """``zs_init.mat`` (full LR grid, SRPS.cu:143) and ``z_init.mat``
+    (masked HR initial depth, SRPS.cu:250) — the reference's verification
+    channel for the preprocessing chain."""
+    os.makedirs(dirpath, exist_ok=True)
+    save_vector_mat(os.path.join(dirpath, "zs_init.mat"),
+                    np.asarray(zs).T.ravel())  # column-major device layout
+    save_vector_mat(os.path.join(dirpath, "z_init.mat"),
+                    masked_select_colmajor(np.asarray(z), np.asarray(mask)))
+
+
 def dump_state(dirpath: str, state, mask, fmt: str = "mat", tag: str = ""):
     """Dump s/rho/z/N with the reference's packing (column-major masked)."""
     os.makedirs(dirpath, exist_ok=True)
@@ -104,9 +131,24 @@ def albedo_image(rho, mask) -> np.ndarray:
     return _to_u8(img)
 
 
+def bone_colormap_lut() -> np.ndarray:
+    """256x3 uint8 RGB LUT of the MATLAB/OpenCV *bone* colormap — a
+    grayscale ramp with a blue cast, piecewise linear with breakpoints at
+    3/8 and 3/4 (what cv::applyColorMap(COLORMAP_BONE) applies,
+    Utilities.cpp:310)."""
+    x = np.linspace(0.0, 1.0, 256)
+    r = np.where(x < 0.75, 7.0 * x / 8.0, (11.0 * x - 3.0) / 8.0)
+    g = np.where(x < 0.375, 7.0 * x / 8.0,
+                 np.where(x < 0.75, (29.0 * x - 3.0) / 24.0,
+                          7.0 * x / 8.0 + 0.125))
+    b = np.where(x < 0.375, 29.0 * x / 24.0, 7.0 * x / 8.0 + 0.125)
+    return _to_u8(np.stack([r, g, b], axis=-1))
+
+
 def depth_image(z, mask) -> np.ndarray:
-    """Negated min-max normalised grayscale (Utilities.cpp:300-320 uses
-    COLORMAP_BONE; we emit the underlying grayscale ramp)."""
+    """Negated, min-max normalised over masked pixels, BONE-colormapped
+    (z_as_opencv_mat, Utilities.cpp:300-320). Returns (h, w, 3) RGB;
+    unmasked pixels are black, as in the reference's zeroed canvas."""
     z = np.asarray(z)
     mask = np.asarray(mask) != 0
     vals = -z[mask]
@@ -114,7 +156,10 @@ def depth_image(z, mask) -> np.ndarray:
     g = np.zeros(mask.shape, np.float32)
     if hi > lo:
         g[mask] = (-z[mask] - lo) / (hi - lo)
-    return _to_u8(g)
+    idx = np.clip(g * 255.0, 0, 255).astype(np.uint8)
+    img = bone_colormap_lut()[idx]
+    img[~mask] = 0
+    return img
 
 
 def save_png(path: str, img_u8: np.ndarray):

@@ -52,7 +52,8 @@ class Timer:
         return self.elapsed
 
 
-def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig()):
+def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig(),
+            return_zs: bool = False):
     """Device-side setup: preprocessing + problem/state construction
     (SRPS.cu:100-270)."""
     h, w = data.mask.shape
@@ -62,12 +63,47 @@ def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig()):
     # z0s is the masked smoothed LR depth (SRPS.cu:236-239).
     prob = prob._replace(z0s=jax.numpy.asarray(zs) * prob.masks)
     state = srps.init_state(prob, z_init)
+    if return_zs:
+        # zs is the *unmasked* smoothed LR grid — what the reference dumps
+        # as zs_init.mat (SRPS.cu:143) before the masked gather.
+        return prob, state, zs
     return prob, state
 
 
 @partial(jax.jit, static_argnames=("sf", "cfg"))
 def _jit_iteration(state, prob, sf, cfg):
     return srps.srps_iteration(state, prob, sf, cfg)
+
+
+# Per-phase jitted calls for the stepwise mode: the reference times and
+# prints lighting / albedo / depth separately each iteration
+# (SRPS.cu:277-295); three XLA programs reproduce that observability.
+@jax.jit
+def _jit_phase_lighting(state, prob):
+    return srps.estimate_lighting(prob, state.rho, state.N, state.s)
+
+
+@jax.jit
+def _jit_phase_albedo(s, state, prob):
+    mom = srps.s_moments(prob, s)
+    rho = srps.estimate_albedo(prob, mom, state.N, state.rho)
+    return mom, rho
+
+
+@partial(jax.jit, static_argnames=("sf", "cfg"))
+def _jit_phase_depth(mom, rho, state, prob, sf, cfg):
+    return srps.estimate_depth(prob, mom, rho, state.dz, state.z, sf, cfg)
+
+
+@jax.jit
+def _jit_phase_normals(z, prob):
+    from ..ops import gradients as gradops
+    from ..ops.normals import normals_from_depth
+
+    zx = gradops.grad_x(z, prob.gm)
+    zy = gradops.grad_y(z, prob.gm)
+    return normals_from_depth(z, zx, zy, prob.xx, prob.yy, prob.mask,
+                              prob.fx, prob.fy)
 
 
 @partial(jax.jit, static_argnames=("sf", "cfg"))
@@ -98,8 +134,17 @@ def solve(
 
 
 def _solve_inner(data, cfg, rt, verbose):
-    prob, state = prepare(data, cfg)
+    prob, state, zs = prepare(data, cfg, return_zs=True)
     sf = int(data.sf)
+
+    if rt.dump_iterations and rt.dump_format == "mat":
+        # Preprocessing goldens (SRPS.cu:143, 250).
+        writers.dump_preprocessing(rt.dump_dir, np.asarray(zs),
+                                   np.asarray(state.z), np.asarray(prob.mask))
+    if rt.dump_operators:
+        from ..io.sparse_dump import dump_operators
+
+        dump_operators(rt.dump_dir, prob, sf)
 
     if rt.resume_from:
         ck = writers.load_checkpoint(rt.resume_from)
@@ -135,28 +180,48 @@ def _solve_inner(data, cfg, rt, verbose):
     last_error = float(state.energy) if rt.resume_from else float("nan")
     iteration = int(state.iteration) + 1
     while True:
+        # Per-phase execution with the reference's exact print format
+        # (SRPS.cu:277-295: "%-25s: %-6.6fs" per phase, then the iteration
+        # summary; the normals recompute is after the summary, untimed).
         t = Timer().start()
-        state = _jit_iteration(state, prob, sf, cfg)
-        dt = t.end(state.z)
-        error = float(state.energy)
+        s = _jit_phase_lighting(state, prob)
+        t_light = t.end(s)
+        if verbose:
+            print(f"\n{'Lightning Estimation':<25}: {t_light:<6.6f}s")
+        t = Timer().start()
+        mom, rho = _jit_phase_albedo(s, state, prob)
+        t_albedo = t.end(rho)
+        if verbose:
+            print(f"{'Albedo Estimation':<25}: {t_albedo:<6.6f}s")
+        t = Timer().start()
+        z, energy, cg_iters = _jit_phase_depth(mom, rho, state, prob, sf, cfg)
+        t_depth = t.end(z)
+        if verbose:
+            print(f"{'Depth Estimation':<25}: {t_depth:<6.6f}s")
+
+        error = float(energy)
         rel_err = abs(last_error - error) / abs(error)
         rec = {
             "iteration": iteration,
             "energy": error,
             "relative_error": rel_err,
-            "cg_iterations": int(state.cg_iters),
-            "seconds": dt,
+            "cg_iterations": int(cg_iters),
+            "lighting_seconds": t_light,
+            "albedo_seconds": t_albedo,
+            "depth_seconds": t_depth,
+            "seconds": t_light + t_albedo + t_depth,
         }
         metrics.append(rec)
         if verbose:
-            # Reference prints per-phase timers + an iteration summary
-            # (SRPS.cu:283-305); phases here are fused into one XLA program,
-            # so one wall time covers lighting+albedo+depth.
             print(f"\nIteration {iteration:02d} summary")
             print(f"{'Error':<25}: {error:<6.3f}")
             print(f"{'Relative Error':<25}: {rel_err:<6.3f}")
-            print(f"{'Iteration time':<25}: {dt:<6.6f}s "
-                  f"(CG iters: {int(state.cg_iters)})")
+
+        N, dz = _jit_phase_normals(z, prob)
+        state = srps.SRPSState(
+            z=z, rho=rho, s=s, N=N, dz=dz,
+            energy=energy, last_energy=state.energy,
+            iteration=state.iteration + 1, cg_iters=cg_iters)
         if rt.dump_iterations:
             writers.dump_state(rt.dump_dir, state, np.asarray(prob.mask),
                                fmt=rt.dump_format)
