@@ -63,6 +63,69 @@ def test_e2e_improves_depth(rng, sf):
     assert errf <= err0 * 1.25, (errf, err0)
 
 
+def exact_consistency_data(rng, hf_amp=1.5, h=48, w=32, sf=2, n=6, c=3,
+                           noise=1.0):
+    """Fixture rendered with the solver's OWN masked-stencil normals, so
+    photometric consistency is exact: I = rho * (N(z_true) . s). The
+    surface carries high-frequency detail (wavelength ~2.6 px) that the
+    bicubic initialisation cannot recover from the sf-downsampled depth —
+    the information exists only in the images."""
+    import jax.numpy as jnp
+
+    from srmeetsps_cuda_tpu.ops import gradients as gradops
+    from srmeetsps_cuda_tpu.ops.grid import meshgrid_camera
+    from srmeetsps_cuda_tpu.ops.normals import normals_from_depth
+
+    yy0, xx0 = np.mgrid[0:h, 0:w]
+    z_true = (80 + 6 * np.sin(xx0 / 5.0) + 5 * np.cos(yy0 / 6.0)
+              + hf_amp * np.sin(2.4 * xx0) * np.cos(2.2 * yy0)
+              ).astype(np.float32)
+    mask = random_mask(rng, h, w)
+    fx = fy = 400.0
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    gm = gradops.GradientMasks.from_mask(jnp.asarray(mask))
+    zt = jnp.asarray(z_true * mask)
+    zx, zy = gradops.grad_x(zt, gm), gradops.grad_y(zt, gm)
+    xx, yy = meshgrid_camera(h, w, cx, cy)
+    N_true, _ = normals_from_depth(zt, zx, zy, xx * mask, yy * mask,
+                                   jnp.asarray(mask), fx, fy)
+    N_true = np.asarray(N_true)
+    rho_true = (0.4 + 0.3 * rng.random((c, 1, 1))).astype(np.float32)
+    I = np.empty((n, c, h, w), np.float32)
+    for i in range(n):
+        s = np.array([0.2, 0.2, -0.9, 0.3]) + 0.2 * rng.standard_normal(4)
+        shade = np.einsum("k,khw->hw", s.astype(np.float32), N_true)
+        I[i] = (rho_true * shade[None]) * mask
+    z0 = np.stack([
+        z_true[::sf, ::sf] + noise * rng.standard_normal((h // sf, w // sf))
+        for _ in range(n)]).astype(np.float32)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    return ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0), z_true, N_true
+
+
+def test_e2e_recovers_surface_detail(rng):
+    """The paper's core claim, tested so it bites: high-frequency surface
+    detail absent from the LR depth init must be recovered from the images.
+    The bicubic init's normals are ~54 deg off on this fixture; the solver
+    must bring the mean angular error under 15 deg (measured: ~10.5)."""
+    data, z_true, N_true = exact_consistency_data(rng)
+    cfg = SolverConfig(inpaint_iters=64)
+    prob, state0 = prepare(data, cfg)
+    m = np.asarray(prob.mask) != 0
+
+    def mean_angular_error_deg(N):
+        N = np.asarray(N)
+        dot = np.clip((N[:3] * N_true[:3]).sum(0), -1, 1)
+        return float(np.degrees(np.arccos(dot[m])).mean())
+
+    err0 = mean_angular_error_deg(state0.N)
+    assert err0 > 30.0, "fixture should start badly (detail invisible to bicubic)"
+    final, _ = solve(data, cfg, RuntimeConfig(), verbose=False)
+    errf = mean_angular_error_deg(final.N)
+    assert errf < 15.0, (err0, errf)
+    assert errf < 0.4 * err0, (err0, errf)
+
+
 def test_fused_matches_stepwise_e2e(rng):
     data, _ = synthetic_data(rng)
     cfg = SolverConfig(inpaint_iters=64)

@@ -129,3 +129,66 @@ def test_three_iteration_trajectory(rng):
     # precisely why the reference stops on energy increase, SRPS.cu:299).
     # The invariant is that both implementations' trajectories track each
     # other, which the per-iteration energy comparisons above enforce.
+
+
+class TestConvergedRegimeRMSE:
+    """The BASELINE.json north star (depth RMSE <= 1e-4), tested directly:
+    on a well-conditioned fixture (small focal length -> cond(M) ~ 2e4),
+    CG run to convergence must match the f64 oracle's *direct* solve of
+    the reference's explicit sparse system M z = rhs. This validates that
+    the matrix-free Gram-field operators compose to exactly the
+    reference's matrix, not merely to a similar one."""
+
+    def test_depth_rmse_vs_f64_direct_solve(self, rng):
+        import scipy.sparse.linalg as spla
+        from functools import partial
+        import jax.numpy as jnp
+        from srmeetsps_cuda_tpu.ops.grid import masked_select_colmajor as pack
+        from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+        h, w, sf, n, c = 24, 16, 2, 4, 3
+        fx = fy = 30.0
+        mask = random_mask(rng, h, w)
+        I = rng.random((n, c, h, w)).astype(np.float32)
+        K = [[fx, 0, w / 2 - 0.5], [0, fy, h / 2 - 0.5], [0, 0, 1]]
+        z0s = rng.random((h // sf, w // sf)).astype(np.float32) + 0.5
+        prob = srps.build_problem(I, mask, K, sf, z0s)
+        z = (rng.random((h, w)).astype(np.float32) + 0.5) * np.asarray(prob.mask)
+        st = srps.init_state(prob, z)
+        s = (np.array([0, 0, -1, 0.2])
+             + 0.1 * rng.standard_normal((n, c, 4))).astype(np.float32)
+        mom = srps.s_moments(prob, jnp.asarray(s))
+        rho = np.asarray(st.rho)
+        lam = 1.0
+        op = srps.build_depth_operator(prob, mom, jnp.asarray(rho), st.dz, lam)
+
+        # f64 oracle: explicit sparse system + direct solve.
+        m = np.asarray(prob.mask)
+        Dx, Dy, _, _ = oracle.make_gradient(m.T.ravel(), h, w)
+        _, _, KT = oracle.lr_mask_and_KT(m.T.ravel(), h, w, sf)
+        I_pack = np.stack([
+            np.stack([pack(np.asarray(prob.I[i, cc]), m) for cc in range(c)])
+            for i in range(n)])
+        rho_p = np.stack([pack(rho[cc], m) for cc in range(c)])
+        M, rhs_o, _, _ = oracle.depth_system(
+            rho_p.astype(np.float64), pack(np.asarray(st.dz), m).astype(np.float64),
+            s.astype(np.float64), pack(np.asarray(prob.xx), m),
+            pack(np.asarray(prob.yy), m), fx, fy, Dx, Dy, KT,
+            pack(np.asarray(prob.z0s), np.asarray(prob.masks)).astype(np.float64),
+            I_pack.astype(np.float64), lam)
+        cond = np.linalg.cond(M.toarray())
+        assert cond < 1e5, f"fixture not well-conditioned: {cond:.2e}"
+        x_star = spla.spsolve(M.tocsc(), rhs_o)
+
+        # Framework: matrix-free warm-started CG run to convergence.
+        matvec = partial(srps.depth_matvec, op=op, prob=prob, sf=sf, lam=lam)
+        rhs = srps.depth_rhs(op, prob, sf, lam)
+        diag = srps.depth_diag(op, prob, sf, lam)
+        res = conjugate_gradient(matvec, rhs - matvec(st.z), st.z,
+                                 tol=0.0, max_iter=1500,
+                                 precond=lambda r: r / diag)
+        z_pack = pack(np.asarray(res.x), m)
+        rmse = float(np.sqrt(np.mean((z_pack - x_star) ** 2)))
+        assert rmse <= 1e-4, rmse
+        # In practice f32 converges ~100x below the north-star bound here.
+        assert rmse <= 5e-6, rmse
