@@ -60,7 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RING = 8   # alignment ring rows on each side (logical halo is 2)
-TH = 64    # band height
+TH = 64    # default band height; wide grids use smaller bands (pick_th)
 
 # Set True to run the kernels in the Pallas interpreter (CPU testing).
 INTERPRET = False
@@ -115,9 +115,10 @@ def _tilesum(v, sf: int):
 
 
 def _cg_kernel_a(beta_ref, S_hbm, p_hbm, p_scratch, F_hbm, p_out, S_out,
-                 pw_ref, *, lam: float, sf: int):
+                 pw_ref, *, lam: float, sf: int, th: int):
     """p_new = r + beta p; w = M p_new; pw += <p_new, w>. One band/step."""
     i = pl.program_id(0)
+    TH = th
 
     @pl.when(i == 0)
     def _():
@@ -187,9 +188,10 @@ def _cg_kernel_a(beta_ref, S_hbm, p_hbm, p_scratch, F_hbm, p_out, S_out,
     )
 
 
-def _cg_kernel_b(alpha_ref, S_hbm, p_hbm, S_out, rr_ref):
+def _cg_kernel_b(alpha_ref, S_hbm, p_hbm, S_out, rr_ref, *, th: int):
     """x += alpha p; r -= alpha w; rr += <r, r>. Interior bands only."""
     i = pl.program_id(0)
+    TH = th
 
     @pl.when(i == 0)
     def _():
@@ -230,26 +232,55 @@ def _cg_kernel_b(alpha_ref, S_hbm, p_hbm, S_out, rr_ref):
 class PaddedGeometry(NamedTuple):
     h: int
     w: int
-    hp: int  # padded interior height (multiple of TH)
+    hp: int  # padded interior height (multiple of th)
     wp: int  # padded width (multiple of 128 lanes)
+    th: int = TH  # band height for this problem
 
     @property
     def shape(self):
         return (self.hp + 2 * RING, self.wp)
 
+    @property
+    def n_bands(self):
+        return self.hp // self.th
 
-def geometry(h: int, w: int) -> PaddedGeometry:
-    hp = -(-h // TH) * TH
+
+def geometry(h: int, w: int, th: int = TH) -> PaddedGeometry:
+    hp = -(-h // th) * th
     wp = -(-w // 128) * 128
-    return PaddedGeometry(h, w, hp, wp)
+    return PaddedGeometry(h, w, hp, wp, th)
+
+
+def _vmem_rows_per_width(th: int, pipelined: bool) -> int:
+    """f32 VMEM rows per unit of padded width a band consumes."""
+    tb = th + 2 * RING
+    if pipelined:
+        # 2 slots of (r, p, 8 packed F rows, w) — pallas_cg_pipe layout.
+        return 2 * (10 * tb + th)
+    # single-buffer: r, p, 11 unpacked F rows, w.
+    return 13 * tb + th
+
+
+def pick_th(h: int, w: int, vmem_budget: int = 12 << 20,
+            pipelined: bool = True):
+    """Largest band height whose VMEM footprint fits the budget at this
+    width — wide grids (1080p/4K) automatically run shorter bands instead
+    of falling off the Pallas path. RING=8 alignment requires th % 8 == 0
+    (which also covers the sf in {1,2,4} tile constraint). Returns None
+    when even th=8 does not fit (≈9.4k-wide grids pipelined)."""
+    wp = -(-w // 128) * 128
+    for th in (64, 32, 16, 8):
+        if th > max(8, -(-h // 8) * 8):
+            continue  # don't run bands taller than the (padded) image
+        if _vmem_rows_per_width(th, pipelined) * wp * 4 <= vmem_budget:
+            return th
+    return None
 
 
 def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20,
               pipelined: bool = True) -> bool:
-    """Whether the fused kernels fit this problem (width-driven VMEM).
-
-    The pipelined variant double-buffers every stream (2x the footprint);
-    the single-buffer variants fit up to ~2.7k-wide grids at TH=64.
+    """Whether the fused kernels fit this problem (width-driven VMEM, with
+    adaptive band height via :func:`pick_th`).
 
     Also requires a TPU backend (the kernels are Mosaic-compiled; on CPU
     they only run in interpret mode, which tests opt into explicitly).
@@ -260,12 +291,7 @@ def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20,
         return False
     if sf not in (1, 2, 4):
         return False
-    geo = geometry(h, w)
-    TB = TH + 2 * RING
-    per_row = 13 * TB + TH  # r, p, 11 F bands + w
-    if pipelined:
-        per_row *= 2
-    return per_row * geo.wp * 4 <= vmem_budget
+    return pick_th(h, w, vmem_budget, pipelined) is not None
 
 
 def pad_field(a, geo: PaddedGeometry):
@@ -303,8 +329,8 @@ def _call_kernel_a(S, p, p_alt, F, beta, geo: PaddedGeometry, lam: float,
     p_new. Only band interiors are written, so the zero ring both buffers
     start with is preserved forever — a fresh output buffer would leave
     the ring uninitialised and poison the next iteration's halo reads."""
-    grid = (geo.hp // TH,)
-    kernel = functools.partial(_cg_kernel_a, lam=lam, sf=sf)
+    grid = (geo.n_bands,)
+    kernel = functools.partial(_cg_kernel_a, lam=lam, sf=sf, th=geo.th)
     p_new, S_new, pw = pl.pallas_call(
         kernel,
         grid=grid,
@@ -333,9 +359,9 @@ def _call_kernel_a(S, p, p_alt, F, beta, geo: PaddedGeometry, lam: float,
 
 
 def _call_kernel_b(S, p, alpha, geo: PaddedGeometry):
-    grid = (geo.hp // TH,)
+    grid = (geo.n_bands,)
     S_new, rr = pl.pallas_call(
-        _cg_kernel_b,
+        functools.partial(_cg_kernel_b, th=geo.th),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -367,9 +393,12 @@ def cg_pallas(
     :func:`make_ktw`. Returns (x, iterations, final squared residual).
     """
     h, w = x0.shape
-    if sf not in (1, 2, 4) or TH % sf or RING % sf:
+    if sf not in (1, 2, 4) or RING % sf:
         raise ValueError(f"unsupported sf for pallas CG: {sf}")
-    geo = geometry(h, w)
+    th = pick_th(h, w, pipelined=False)
+    if th is None:
+        raise ValueError(f"grid too wide for pallas CG VMEM budget: {w}")
+    geo = geometry(h, w, th)
     F = stack_fields(op, gm, ktw, geo)
     S = jnp.stack([
         pad_field(jnp.asarray(x0, jnp.float32), geo),

@@ -36,9 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_cg as _pcg
 from .pallas_cg import (
-    RING, TH, P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW,
-    PaddedGeometry, _shift, _tilesum, geometry, pad_field, unpad_field,
-    stack_fields, make_ktw,
+    RING, P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW,
+    PaddedGeometry, _shift, _tilesum, geometry, pad_field, pick_th,
+    unpad_field, stack_fields, make_ktw,
 )
 
 # Rows of the stacked state T.
@@ -48,7 +48,8 @@ S_R0, S_R1, S_PW, S_RR, S_ACT, S_BETA, S_ALPHA = range(7)
 
 
 def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
-            *, lam: float, sf: int):
+            *, lam: float, sf: int, th: int):
+    TH = th
     # All state reads go through T_out (the aliased output ref): in
     # interpret mode the aliased output is a *copy* of the input, so reads
     # via T_hbm would miss earlier grid steps' writes; on hardware both
@@ -222,7 +223,10 @@ def cg_pallas_fused(
     h, w = x0.shape
     if sf not in (1, 2, 4):
         raise ValueError(f"unsupported sf: {sf}")
-    geo = geometry(h, w)
+    th = pick_th(h, w, pipelined=False)
+    if th is None:
+        raise ValueError(f"grid too wide for pallas CG VMEM budget: {w}")
+    geo = geometry(h, w, th)
     F = stack_fields(op, gm, ktw, geo)
     T = jnp.stack([
         pad_field(jnp.asarray(x0, jnp.float32), geo),
@@ -236,8 +240,8 @@ def cg_pallas_fused(
         jnp.float32(tol) ** 2, r1_0, jnp.float32(max_iter)
     ]).reshape(1, 3)
 
-    n_bands = geo.hp // TH
-    kernel = functools.partial(_kernel, lam=lam, sf=sf)
+    n_bands = geo.n_bands
+    kernel = functools.partial(_kernel, lam=lam, sf=sf, th=geo.th)
     T_new, iters, r1, _scal = pl.pallas_call(
         kernel,
         grid=(max_iter + 1, 2, n_bands),

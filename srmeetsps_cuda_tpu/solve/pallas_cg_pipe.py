@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_cg as _pcg
 from .pallas_cg import (
-    RING, TH, P11, P12, P13, P22, P23, P33,
-    _shift, _tilesum, geometry, pad_field, unpad_field, make_ktw,
+    RING, P11, P12, P13, P22, P23, P33,
+    _shift, _tilesum, geometry, pad_field, pick_th, unpad_field, make_ktw,
 )
 from .pallas_cg_fused import TX, TR, TW_, TP0, S_R0, S_R1, S_PW, S_RR, \
     S_ACT, S_BETA, S_ALPHA
@@ -66,7 +66,8 @@ def _unpack_masks(mb_f32):
 
 
 def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
-            *, lam: float, sf: int, n_bands: int):
+            *, lam: float, sf: int, n_bands: int, th: int):
+    TH = th
     """Grid (B, max_iter+1, 2): lanes (batched problems) run sequentially
     on the core; per-lane CG scalar state lives in the SMEM workspace and
     is re-initialised at each lane's first step, so per-lane stopping is
@@ -307,7 +308,10 @@ def cg_pallas_pipelined_batched(
     B, h, w = x0.shape
     if sf not in (1, 2, 4):
         raise ValueError(f"unsupported sf: {sf}")
-    geo = geometry(h, w)
+    th = pick_th(h, w, pipelined=True)
+    if th is None:
+        raise ValueError(f"grid too wide for pipelined pallas CG: {w}")
+    geo = geometry(h, w, th)
     F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
         op, gm, ktw)
     zero = jnp.zeros((B,) + geo.shape, jnp.float32)
@@ -324,8 +328,9 @@ def cg_pallas_pipelined_batched(
         jnp.full((B,), jnp.float32(max_iter)),
     ], axis=1)  # (B, 3)
 
-    n_bands = geo.hp // TH
-    kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands)
+    n_bands = geo.n_bands
+    kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands,
+                               th=geo.th)
     T_new, iters, r1, _scal = pl.pallas_call(
         kernel,
         grid=(B, max_iter + 1, 2),

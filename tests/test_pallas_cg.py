@@ -164,3 +164,39 @@ class TestBatchedCG:
             m = min(nj, np_)
             np.testing.assert_allclose(np.asarray(tp)[b, :m],
                                        np.asarray(tj)[b, :m], rtol=1e-2)
+
+
+class TestAdaptiveBandHeight:
+    def test_pick_th_narrows_with_width(self):
+        assert pallas_cg.pick_th(960, 1280, pipelined=True) == 64
+        assert pallas_cg.pick_th(1088, 1920, pipelined=True) == 32
+        assert pallas_cg.pick_th(2176, 3840, pipelined=True) == 16
+        assert pallas_cg.pick_th(4352, 7680, pipelined=True) is None
+        # single-buffer variants fit wider at the same th
+        assert pallas_cg.pick_th(1088, 1920, pipelined=False) == 64
+
+    @pytest.mark.parametrize("th", [16, 32])
+    def test_small_bands_match_jnp(self, rng, th, monkeypatch):
+        """Force a small band height (as a wide grid would pick) and check
+        the pipelined kernel still matches the jnp CG."""
+        import functools
+        from srmeetsps_cuda_tpu.solve import pallas_cg_pipe
+        from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+        monkeypatch.setattr(pallas_cg_pipe, "pick_th",
+                            lambda *a, **k: th)
+        sf = 2
+        prob, st, mom, op = _problem(rng, 48, 32, sf)
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+        x, k, r1 = pallas_cg_pipe.cg_pallas_pipelined(
+            st.z, b_res, op, prob.gm, ktw, sf=sf, lam=1.0,
+            tol=1e-4, max_iter=12)
+        res = conjugate_gradient(mv, b_res, st.z, tol=1e-4, max_iter=12)
+        assert abs(int(k) - int(res.iterations)) <= 1
+        d = np.asarray(x) - np.asarray(res.x)
+        rms = np.sqrt(np.mean(np.asarray(res.x) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
