@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-from", default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas CG kernels (TPU)")
+    p.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="grid-shard the solve over N devices (1D row-band "
+                   "mesh, manual halo-exchange CG; 0 = off)")
     p.add_argument("--nan-check", action="store_true",
                    help="raise on the first NaN-producing op (jax_debug_nans)")
     p.add_argument("--profile-dir", default=None,
@@ -111,11 +114,47 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir,
     )
 
-    from .runtime.solver import solve
+    if args.sharded:
+        _run_sharded(data, cfg, args.sharded)
+    else:
+        from .runtime.solver import solve
 
-    solve(data, cfg, rt, verbose=True)
+        solve(data, cfg, rt, verbose=True)
     print("Done!")
     return 0
+
+
+def _run_sharded(data, cfg, n_devices: int):
+    """Grid-sharded fused solve over a 1D row-band mesh."""
+    from functools import partial
+
+    import jax
+    import numpy as np
+
+    from .parallel.sharded import (make_mesh_1d, shard_pytree_rows,
+                                   solve_fused_sharded)
+    from .runtime.solver import Timer, prepare
+
+    n_devices = min(n_devices, len(jax.devices()))
+    mesh = make_mesh_1d(n_devices)
+    prob, state = prepare(data, cfg)
+    h = prob.mask.shape[0]
+    if h % n_devices:
+        raise SystemExit(
+            f"--sharded: image height {h} not divisible by {n_devices}")
+    prob = shard_pytree_rows(prob, mesh)
+    state = shard_pytree_rows(state, mesh)
+    t = Timer().start()
+    final, trace = jax.jit(partial(
+        solve_fused_sharded, sf=int(data.sf), cfg=cfg, mesh=mesh))(
+            state, prob)
+    dt = t.end(final.z)
+    trace = np.asarray(trace)
+    n_it = int(final.iteration)
+    for i in range(n_it):
+        print(f"Iteration {i + 1:02d}  Error: {float(trace[i]):.3f}")
+    print(f"sharded solve ({n_devices} devices): {n_it} iterations "
+          f"in {dt:.3f}s, final energy {float(final.energy):.3f}")
 
 
 if __name__ == "__main__":

@@ -105,6 +105,103 @@ def step_sharded(state, prob, sf: int, cfg: SolverConfig):
 
 
 # ---------------------------------------------------------------------------
+# 1D row-band sharding with the manual halo-exchange CG (product path for
+# parallel/shard_cg.py; the depth solve communicates 2 halo refreshes +
+# 2 scalar psums per CG iteration instead of whatever GSPMD chooses).
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def shard_pytree_rows(tree, mesh: Mesh, axis: str = "x"):
+    """Row-band placement: (…, h, w) leaves sharded over `axis` on the
+    second-to-last dim; small leaves replicated."""
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if _small_leaves(leaf):
+            spec = P()
+        else:
+            spec = P(*([None] * (leaf.ndim - 2) + [axis, None]))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
+                           cfg: SolverConfig, mesh: Mesh, axis: str = "x"):
+    """Depth solve routed through the manual shard_map CG (per-shard
+    Pallas band kernels on TPU, jnp matvec otherwise). The operators are
+    built under GSPMD; only the CG hot loop is hand-scheduled."""
+    from . import shard_cg
+
+    lam = cfg.lam
+    op = srps.build_depth_operator(prob, mom, rho, dz, lam)
+    rhs = srps.depth_rhs(op, prob, sf, lam)
+    b_res = rhs - srps.depth_matvec(z, op, prob, sf, lam)
+    h, w = z.shape
+    n = mesh.shape[axis]
+    use_pallas = (cfg.use_pallas and not cfg.jacobi_preconditioner
+                  and shard_cg.shard_cg_pallas_supported(h, w, sf, n))
+    cg_fn = (shard_cg.cg_sharded_pallas if use_pallas
+             else shard_cg.cg_sharded)
+    x, k, _ = cg_fn(mesh, axis, z, b_res, op, prob.gm, prob.mask,
+                    prob.masks, sf=sf, lam=lam, tol=cfg.cg_tol,
+                    max_iter=cfg.cg_max_iter)
+    z_new = x * prob.mask
+    energy = srps.depth_energy(z_new, op, prob, sf, lam)
+    return z_new, energy, k
+
+
+def srps_iteration_sharded(state, prob, sf: int, cfg: SolverConfig,
+                           mesh: Mesh, axis: str = "x"):
+    """One outer iteration with the depth CG on the manual sharded path.
+    Lighting/albedo/moments/normals are plain GSPMD jnp."""
+    from ..ops import gradients as gradops
+    from ..ops.normals import normals_from_depth
+
+    s = srps.estimate_lighting(prob, state.rho, state.N, state.s)
+    mom = srps.s_moments(prob, s)
+    rho = srps.estimate_albedo(prob, mom, state.N, state.rho)
+    z, energy, cg_iters = estimate_depth_sharded(
+        prob, mom, rho, state.dz, state.z, sf, cfg, mesh, axis)
+    zx = gradops.grad_x(z, prob.gm)
+    zy = gradops.grad_y(z, prob.gm)
+    N, dz = normals_from_depth(z, zx, zy, prob.xx, prob.yy, prob.mask,
+                               prob.fx, prob.fy)
+    return srps.SRPSState(
+        z=z, rho=rho, s=s, N=N, dz=dz, energy=energy,
+        last_energy=state.energy, iteration=state.iteration + 1,
+        cg_iters=cg_iters)
+
+
+def solve_fused_sharded(state, prob, sf: int, cfg: SolverConfig,
+                        mesh: Mesh, axis: str = "x"):
+    """Whole outer loop on-device over the 1D row-band mesh (the sharded
+    analog of srps.solve_fused). Inputs should be placed with
+    :func:`shard_pytree_rows`."""
+    trace_len = cfg.max_iterations + 2
+
+    def cond(carry):
+        st, _ = carry
+        return ~srps.should_stop(st, cfg) | (st.iteration == 0)
+
+    def body(carry):
+        st, trace = carry
+        st = srps_iteration_sharded(st, prob, sf, cfg, mesh, axis)
+        trace = trace.at[st.iteration - 1].set(st.energy)
+        return st, trace
+
+    trace0 = jnp.full((trace_len,), jnp.nan, jnp.float32)
+    return jax.lax.while_loop(cond, body, (state, trace0))
+
+
+# ---------------------------------------------------------------------------
 # Multi-chip dry run (driver hook)
 # ---------------------------------------------------------------------------
 
@@ -155,3 +252,23 @@ def dryrun(n_devices: int, batch: Optional[int] = None) -> None:
         out = jax.jit(step)(state_b, prob_b)
         jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out.energy))), "non-finite energy"
+
+    # Also exercise the manual 1D row-band path (shard_map halo-exchange
+    # CG + psum dots) — the product path behind --sharded.
+    mesh1 = make_mesh_1d(n_devices)
+    h1 = max(8 * n_devices, 2 * sf * n_devices)
+    h1 += (-h1) % (8 * n_devices)
+    w1 = 16
+    mask1 = np.ones((h1, w1), np.float32)
+    I1 = rng.random((n, c, h1, w1)).astype(np.float32)
+    z01 = (rng.random((n, h1 // sf, w1 // sf)).astype(np.float32) + 1.0) * 50.0
+    zs1, zi1 = preprocess_depth(z01, h1, w1, cfg)
+    K1 = [[300.0, 0, w1 / 2 - 0.5], [0, 300.0, h1 / 2 - 0.5], [0, 0, 1]]
+    pb1 = srps.build_problem(I1, mask1, K1, sf, zs1)
+    st1 = srps.init_state(pb1, zi1)
+    pb1 = shard_pytree_rows(pb1, mesh1)
+    st1 = shard_pytree_rows(st1, mesh1)
+    st1_out, trace1 = jax.jit(
+        partial(solve_fused_sharded, sf=sf, cfg=cfg, mesh=mesh1))(st1, pb1)
+    jax.block_until_ready(st1_out)
+    assert np.isfinite(float(st1_out.energy)), "non-finite sharded-1d energy"

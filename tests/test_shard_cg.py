@@ -85,3 +85,75 @@ class TestShardCG:
         d = np.asarray(x) - np.asarray(ref.x)
         rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
         assert np.sqrt(np.mean(d**2)) / rms < 2e-2
+
+
+class TestShardCGPallas:
+    def test_matches_single_device(self, rng, monkeypatch):
+        """Per-shard Pallas band kernels inside shard_map (interpret mode)
+        == single-device jnp CG."""
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        ref = conjugate_gradient(mv, b_res, st.z, tol=1e-4, max_iter=30)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        assert shard_cg.shard_cg_pallas_supported(h, w, sf, 8)
+        x, k, r1 = shard_cg.cg_sharded_pallas(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        assert abs(int(k) - int(ref.iterations)) <= 2
+        d = np.asarray(x) - np.asarray(ref.x)
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
+
+
+class TestShardedIteration:
+    def test_iteration_sharded_matches_single_device(self, rng):
+        """The product path: srps_iteration_sharded (manual halo CG) vs
+        the plain single-device iteration."""
+        from srmeetsps_cuda_tpu.parallel.sharded import (
+            make_mesh_1d, shard_pytree_rows, srps_iteration_sharded)
+
+        h, w, sf = 64, 32, 2
+        prob, st, _ = _setup(rng, h, w, sf)
+        cfg = SolverConfig(cg_max_iter=30)
+        want = srps.srps_iteration(st, prob, sf, cfg)
+
+        mesh = make_mesh_1d(8)
+        prob_s = shard_pytree_rows(prob, mesh)
+        st_s = shard_pytree_rows(st, mesh)
+        import functools
+        got = jax.jit(functools.partial(
+            srps_iteration_sharded, sf=sf, cfg=cfg, mesh=mesh))(st_s, prob_s)
+        np.testing.assert_allclose(float(got.energy), float(want.energy),
+                                   rtol=1e-2)
+        assert abs(int(got.cg_iters) - int(want.cg_iters)) <= 2
+        d = np.asarray(got.z) - np.asarray(want.z)
+        rms = np.sqrt(np.mean(np.asarray(want.z) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
+
+    def test_solve_fused_sharded_runs(self, rng):
+        from srmeetsps_cuda_tpu.parallel.sharded import (
+            make_mesh_1d, shard_pytree_rows, solve_fused_sharded)
+
+        h, w, sf = 64, 32, 2
+        prob, st, _ = _setup(rng, h, w, sf)
+        cfg = SolverConfig(max_iterations=3, cg_max_iter=20)
+        mesh = make_mesh_1d(8)
+        prob_s = shard_pytree_rows(prob, mesh)
+        st_s = shard_pytree_rows(st, mesh)
+        import functools
+        final, trace = jax.jit(functools.partial(
+            solve_fused_sharded, sf=sf, cfg=cfg, mesh=mesh))(st_s, prob_s)
+        assert np.isfinite(float(final.energy))
+        trace = np.asarray(trace)
+        n_it = int(final.iteration)
+        assert n_it >= 1 and np.all(np.isfinite(trace[:n_it]))
