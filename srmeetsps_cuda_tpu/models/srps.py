@@ -266,34 +266,38 @@ def build_depth_operator(
     """
     fx, fy, xx, yy = prob.fx, prob.fy, prob.xx, prob.yy
     G = mom.G
-    w2 = (rho / dz) ** 2  # (c,h,w)
-    w1 = rho / dz
+    w1 = rho / dz  # (c,h,w)
+    w2 = w1 * w1
+    w1r = w1 * rho  # rho^2 / dz
 
-    def gsum(expr):  # sum over channels of w2 * expr(c)
-        return jnp.einsum("chw,chw->hw", w2, expr)
+    # The per-channel scalar Gram entries G_c[k,l] factor OUT of every sum
+    # over channels, so each P/QB field is an elementwise combination of
+    # xx/yy with a handful of channel-contracted moment *fields* — three
+    # small contractions over c replace ~10 full (c,h,w) expression passes
+    # (the dominant non-CG cost at Mitten scale, ~13 ms -> ~2 ms/iter).
+    #   A_kl = sum_c w2_c G_c[k,l]      (for the quadratic P fields)
+    #   D_k3 = sum_c (w1 rho)_c G_c[k,3] (for the rho*s4 part of QB)
+    #   B_k  = sum_c w1_c J_kc           (for the I-correlation part of QB)
+    GA = jnp.stack([G[:, 0, 0], G[:, 0, 1], G[:, 0, 2],
+                    G[:, 1, 1], G[:, 1, 2], G[:, 2, 2]], axis=1)  # (c,6)
+    A00, A01, A02, A11, A12, A22 = jnp.einsum(
+        "chw,ck->khw", w2, GA, precision=HI)
+    GD = G[:, :3, 3]  # (c,3)
+    D03, D13, D23 = jnp.einsum("chw,ck->khw", w1r, GD, precision=HI)
+    B0, B1, B2 = jnp.einsum("chw,ckhw->khw", w1, mom.J[:, :3], precision=HI)
 
-    # Per-channel scalar moments (broadcast against fields).
-    g = lambda k, l: G[:, k, l][:, None, None]  # (c,1,1)
+    P11 = fx * fx * A00 - 2.0 * fx * xx * A02 + xx * xx * A22
+    P22 = fy * fy * A11 - 2.0 * fy * yy * A12 + yy * yy * A22
+    P33 = A22
+    P12 = fx * fy * A01 - fx * yy * A02 - fy * xx * A12 + xx * yy * A22
+    P13 = fx * A02 - xx * A22
+    P23 = fy * A12 - yy * A22
 
-    P11 = gsum(fx * fx * g(0, 0) - 2.0 * fx * xx * g(0, 2) + xx * xx * g(2, 2))
-    P22 = gsum(fy * fy * g(1, 1) - 2.0 * fy * yy * g(1, 2) + yy * yy * g(2, 2))
-    P33 = gsum(g(2, 2) * jnp.ones_like(xx))
-    P12 = gsum(
-        fx * fy * g(0, 1) - fx * yy * g(0, 2) - fy * xx * g(1, 2) + xx * yy * g(2, 2)
-    )
-    P13 = gsum(fx * g(0, 2) - xx * g(2, 2))
-    P23 = gsum(fy * g(1, 2) - yy * g(2, 2))
-
-    # B-correlations: B_ic = I_ic - rho_c s4  =>  sums collapse on J and G.
-    J = mom.J  # (c,4,h,w)
-    QB1 = jnp.einsum(
-        "chw,chw->hw", w1, fx * (J[:, 0] - rho * g(0, 3)) - xx * (J[:, 2] - rho * g(2, 3))
-    )
-    QB2 = jnp.einsum(
-        "chw,chw->hw", w1, fy * (J[:, 1] - rho * g(1, 3)) - yy * (J[:, 2] - rho * g(2, 3))
-    )
-    QB3 = jnp.einsum("chw,chw->hw", w1, J[:, 2] - rho * g(2, 3))
-    const = jnp.sum(prob.SI2 - 2.0 * rho * J[:, 3] + rho * rho * g(3, 3))
+    QB3 = B2 - D23
+    QB1 = fx * (B0 - D03) - xx * QB3
+    QB2 = fy * (B1 - D13) - yy * QB3
+    const = (jnp.sum(prob.SI2) - 2.0 * jnp.sum(rho * mom.J[:, 3])
+             + jnp.vdot(jnp.sum(rho * rho, axis=(1, 2)), G[:, 3, 3]))
 
     return DepthOperator(P11, P12, P13, P22, P23, P33, QB1, QB2, QB3, const)
 
