@@ -272,19 +272,28 @@ def build_depth_operator(
 
     # The per-channel scalar Gram entries G_c[k,l] factor OUT of every sum
     # over channels, so each P/QB field is an elementwise combination of
-    # xx/yy with a handful of channel-contracted moment *fields* — three
-    # small contractions over c replace ~10 full (c,h,w) expression passes
-    # (the dominant non-CG cost at Mitten scale, ~13 ms -> ~2 ms/iter).
+    # xx/yy with a handful of channel-contracted moment *fields*:
     #   A_kl = sum_c w2_c G_c[k,l]      (for the quadratic P fields)
     #   D_k3 = sum_c (w1 rho)_c G_c[k,3] (for the rho*s4 part of QB)
     #   B_k  = sum_c w1_c J_kc           (for the I-correlation part of QB)
-    GA = jnp.stack([G[:, 0, 0], G[:, 0, 1], G[:, 0, 2],
-                    G[:, 1, 1], G[:, 1, 2], G[:, 2, 2]], axis=1)  # (c,6)
-    A00, A01, A02, A11, A12, A22 = jnp.einsum(
-        "chw,ck->khw", w2, GA, precision=HI)
-    GD = G[:, :3, 3]  # (c,3)
-    D03, D13, D23 = jnp.einsum("chw,ck->khw", w1r, GD, precision=HI)
-    B0, B1, B2 = jnp.einsum("chw,ckhw->khw", w1, mom.J[:, :3], precision=HI)
+    # c is tiny (1 or 3) and static, so the contractions are unrolled into
+    # scalar-weighted elementwise sums that XLA fuses into single passes —
+    # einsum forms with (h, w) as free/batch dims ("chw,ck->khw",
+    # "chw,ckhw->khw") lower to transpose-heavy dotgenerals on TPU and
+    # cost ~0.1 s over a Mitten solve.
+    c = w1.shape[0]
+    A00 = sum(w2[i] * G[i, 0, 0] for i in range(c))
+    A01 = sum(w2[i] * G[i, 0, 1] for i in range(c))
+    A02 = sum(w2[i] * G[i, 0, 2] for i in range(c))
+    A11 = sum(w2[i] * G[i, 1, 1] for i in range(c))
+    A12 = sum(w2[i] * G[i, 1, 2] for i in range(c))
+    A22 = sum(w2[i] * G[i, 2, 2] for i in range(c))
+    D03 = sum(w1r[i] * G[i, 0, 3] for i in range(c))
+    D13 = sum(w1r[i] * G[i, 1, 3] for i in range(c))
+    D23 = sum(w1r[i] * G[i, 2, 3] for i in range(c))
+    B0 = sum(w1[i] * mom.J[i, 0] for i in range(c))
+    B1 = sum(w1[i] * mom.J[i, 1] for i in range(c))
+    B2 = sum(w1[i] * mom.J[i, 2] for i in range(c))
 
     P11 = fx * fx * A00 - 2.0 * fx * xx * A02 + xx * xx * A22
     P22 = fy * fy * A11 - 2.0 * fy * yy * A12 + yy * yy * A22
