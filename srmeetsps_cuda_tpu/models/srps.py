@@ -62,8 +62,12 @@ HI = lax.Precision.HIGHEST
 
 
 class SRPSProblem(NamedTuple):
-    """Static problem data (device arrays). Shapes: I (n,c,h,w); mask (h,w);
-    masks (h/sf, w/sf); z0s like masks; xx/yy (h,w); SI2 (c,h,w)."""
+    """Static problem data (device arrays). Shapes: I (c,n,h,w) —
+    channel-major so the per-channel image contractions (s_moments J,
+    lighting ATb) lower to clean c-batched matmuls instead of
+    transpose-heavy dotgenerals; mask (h,w); masks (h/sf, w/sf); z0s like
+    masks; xx/yy (h,w); SI2 (c,h,w). ``build_problem`` takes (n,c,h,w)
+    input (the loader layout) and transposes once."""
 
     I: jax.Array
     mask: jax.Array
@@ -120,7 +124,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
     # binary masks (all shipped datasets) the behaviours are identical.
     mask = (jnp.asarray(mask) != 0).astype(jnp.float32)
     h, w = mask.shape
-    I = jnp.asarray(I, jnp.float32) * mask
+    I = jnp.transpose(jnp.asarray(I, jnp.float32), (1, 0, 2, 3)) * mask
     if image_dtype == "bfloat16":
         I = I.astype(jnp.bfloat16)
     masks = gridops.lr_mask(mask, sf)
@@ -128,7 +132,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
     xx = xx * mask
     yy = yy * mask
     SI2 = jnp.einsum(
-        "nchw->chw", (I * I).astype(jnp.float32))
+        "cnhw->chw", (I * I).astype(jnp.float32))
     return SRPSProblem(
         I=I,
         mask=mask,
@@ -146,7 +150,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
 def init_state(prob: SRPSProblem, z_init) -> SRPSState:
     """Initial state mirroring SRPS.cu:206-270: s = [0,0,-1,0] per
     (image, channel), rho = 0.5 on the mask, normals from the initial z."""
-    n, c, h, w = prob.I.shape
+    c, n, h, w = prob.I.shape
     s = jnp.zeros((n, c, 4), jnp.float32).at[:, :, 2].set(-1.0)
     rho = jnp.broadcast_to(0.5 * prob.mask, (c, h, w))
     z = jnp.asarray(z_init, jnp.float32) * prob.mask
@@ -182,11 +186,25 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     s — so when the direct solve produces non-finite values, ``s_prev`` is
     kept instead.
     """
-    n, c, h, w = prob.I.shape
+    c, n, h, w = prob.I.shape
+    # ATA[c,a,b] = sum_p rho_c^2 N_a N_b — ten unique masked reductions,
+    # unrolled over the tiny (a, b) axes so XLA fuses them into one pass
+    # over rho/N (materialising T = rho*N costs an extra 2x c x npix
+    # round-trip and the "cap,cbp->cab" einsum lowers transpose-heavy).
+    R2 = rho * rho  # (c,h,w)
+    ata = {}
+    for a in range(4):
+        for b in range(a, 4):
+            ata[(a, b)] = jnp.sum(R2 * (N[a] * N[b]), axis=(1, 2))
+    ATA = jnp.stack([
+        jnp.stack([ata[(min(a, b), max(a, b))] for b in range(4)], axis=-1)
+        for a in range(4)
+    ], axis=-2)  # (c,4,4)
+    # ATb[n,c,a] = <rho_c N_a, I_cn> — a c-batched (4,P)@(P,n) matmul on
+    # the channel-major image layout.
     T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
-    If = prob.I.reshape(n, c, h * w)
-    ATA = jnp.einsum("cap,cbp->cab", T, T, precision=HI)  # (c,4,4)
-    ATb = jnp.einsum("cap,ncp->nca", T, If, precision=HI,
+    If = prob.I.reshape(c, n, h * w)
+    ATb = jnp.einsum("cap,cnp->nca", T, If, precision=HI,
                      preferred_element_type=jnp.float32)  # (n,c,4)
     ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
     sol = jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
@@ -207,10 +225,12 @@ class SMoments(NamedTuple):
 
 
 def s_moments(prob: SRPSProblem, s) -> SMoments:
-    n, c, h, w = prob.I.shape
+    c, n, h, w = prob.I.shape
     G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
+    # c-batched (4,n)@(n,P) matmul on the channel-major layout — one
+    # clean streaming pass over I.
     J = jnp.einsum(
-        "nck,ncp->ckp", s.astype(prob.I.dtype), prob.I.reshape(n, c, h * w),
+        "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I.reshape(c, n, h * w),
         precision=HI, preferred_element_type=jnp.float32,
     ).reshape(c, 4, h, w)
     return SMoments(G, J)
@@ -226,11 +246,17 @@ def estimate_albedo(prob: SRPSProblem, mom: SMoments, N, rho_prev) -> jax.Array:
     exact solution; devicecalls.cu:497-548). Where no image constrains a
     pixel (zero diagonal) the previous albedo is kept — matching CG's
     zero-correction behaviour on a zero row."""
-    num = jnp.einsum("khw,ckhw->chw", N, mom.J, precision=HI)
-    # den = sum_kl G_ckl N_k N_l, split into two 2-operand contractions
-    # (3-operand einsum lowers poorly).
-    GN = jnp.einsum("ckl,lhw->ckhw", mom.G, N, precision=HI)
-    den = jnp.einsum("ckhw,khw->chw", GN, N, precision=HI)
+    # num_c = sum_k N_k J_ck, den_c = sum_kl G_ckl N_k N_l — k/l are tiny
+    # static axes, so unroll into elementwise sums XLA fuses into a single
+    # pass (einsums with (h, w) free dims lower transpose-heavy on TPU).
+    c = mom.J.shape[0]
+    num = jnp.stack([
+        sum(N[k] * mom.J[i, k] for k in range(4)) for i in range(c)])
+    NN = {(k, l): N[k] * N[l] for k in range(4) for l in range(k, 4)}
+    den = jnp.stack([
+        sum((1.0 if k == l else 2.0) * mom.G[i, k, l] * NN[(k, l)]
+            for k in range(4) for l in range(k, 4))
+        for i in range(c)])
     rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rho_prev)
     return rho * prob.mask
 
@@ -383,8 +409,6 @@ def estimate_depth(
     lam = cfg.lam
     op = build_depth_operator(prob, mom, rho, dz, lam)
     matvec = partial(depth_matvec, op=op, prob=prob, sf=sf, lam=lam)
-    rhs = depth_rhs(op, prob, sf, lam)
-    b_res = rhs - matvec(z)
     h, w = z.shape
     from ..solve import pallas_cg as _pcg
 
@@ -395,20 +419,30 @@ def estimate_depth(
             and _pcg.supported(h, w, sf, pipelined=False)):
         from ..solve.pallas_cg import cg_pallas, make_ktw
         from ..solve.pallas_cg_fused import cg_pallas_fused
-        from ..solve.pallas_cg_pipe import cg_pallas_pipelined
+        from ..solve.pallas_cg_pipe import (cg_pallas_pipelined,
+                                            cg_pallas_pipelined_fromop)
 
         ktw = make_ktw(prob.mask, prob.masks, sf)
-        if not cfg.pallas_fused_loop:
-            cg_fn = cg_pallas  # two kernel calls per iteration
-        elif _pcg.supported(h, w, sf, pipelined=True):
-            cg_fn = cg_pallas_pipelined  # double-buffered mega-kernel
+        if cfg.pallas_fused_loop and _pcg.supported(h, w, sf, pipelined=True):
+            # Double-buffered mega-kernel with the initial residual built
+            # in-kernel — no host-side rhs/matvec passes at all. z0t is
+            # outer-iteration-invariant (XLA hoists it out of solve_fused's
+            # while_loop).
+            z0t = gridops.resample_masked_t(
+                prob.z0s, prob.mask, prob.masks, sf)
+            x, iters, _ = cg_pallas_pipelined_fromop(
+                z, op, prob.gm, ktw, z0t, sf=sf, lam=lam,
+                tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         else:
-            cg_fn = cg_pallas_fused  # single-buffer mega-kernel (wider)
-        x, iters, _ = cg_fn(
-            z, b_res, op, prob.gm, ktw, sf=sf, lam=lam,
-            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+            # two kernel calls per iteration / single-buffer mega-kernel
+            cg_fn = cg_pallas if not cfg.pallas_fused_loop else cg_pallas_fused
+            b_res = depth_rhs(op, prob, sf, lam) - matvec(z)
+            x, iters, _ = cg_fn(
+                z, b_res, op, prob.gm, ktw, sf=sf, lam=lam,
+                tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         res = CGResult(x, iters, jnp.float32(0.0))
     else:
+        b_res = depth_rhs(op, prob, sf, lam) - matvec(z)
         precond = None
         if cfg.jacobi_preconditioner:
             diag = depth_diag(op, prob, sf, lam)

@@ -65,13 +65,26 @@ def _unpack_masks(mb_f32):
             f32((mb >> 2) & 1), f32((mb >> 3) & 1))
 
 
-def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
-            *, lam: float, sf: int, n_bands: int, th: int):
+def _kernel(consts_ref, T_hbm, F_hbm, *rest,
+            lam: float, sf: int, n_bands: int, th: int,
+            fromop: bool = False):
     TH = th
-    """Grid (B, max_iter+1, 2): lanes (batched problems) run sequentially
-    on the core; per-lane CG scalar state lives in the SMEM workspace and
-    is re-initialised at each lane's first step, so per-lane stopping is
-    exact. B=1 is the single-solve case."""
+    """Grid (B, max_iter+1+off, 2): lanes (batched problems) run
+    sequentially on the core; per-lane CG scalar state lives in the SMEM
+    workspace and is re-initialised at each lane's first step, so per-lane
+    stopping is exact. B=1 is the single-solve case.
+
+    With ``fromop`` (off=1), iteration 0 is a prologue that computes the
+    initial residual IN-KERNEL: r0 = [z0t + lam*(Dx' QB1 + Dy' QB2 - QB3)]
+    - M x0, streaming the extra R0 fields (QB1, QB2, QB3, KT^T z0s) once —
+    this replaces two full jnp passes (rhs + matvec) per outer iteration.
+    """
+    if fromop:
+        R0_hbm, T_out, iters_ref, r1_ref, scal = rest
+    else:
+        (T_out, iters_ref, r1_ref, scal) = rest
+        R0_hbm = None
+    off = 1 if fromop else 0
     lane = pl.program_id(0)
     it = pl.program_id(1)
     phase = pl.program_id(2)
@@ -89,24 +102,129 @@ def _kernel(consts_ref, T_hbm, F_hbm, T_out, iters_ref, r1_ref, scal,
         iters_ref[lane, 0] = 0.0
         r1_ref[lane, 0] = r1_init
 
-    @pl.when(phase == 0)
+    if fromop:
+        # ---- iteration-0 prologue: r = rhs - M x0, r1 = <r, r> ----
+        @pl.when((it == 0) & (phase == 0))
+        def _():
+            def body(x_bufs, f_bufs, q_bufs, r_bufs, in_sems, out_sems):
+                def start_in(b):
+                    slot = lax.rem(b, 2)
+                    pltpu.make_async_copy(
+                        T_out.at[lane, TX, pl.ds(b * TH, TB), :],
+                        x_bufs.at[slot], in_sems.at[slot, 0]).start()
+                    pltpu.make_async_copy(
+                        F_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        f_bufs.at[slot], in_sems.at[slot, 1]).start()
+                    pltpu.make_async_copy(
+                        R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        q_bufs.at[slot], in_sems.at[slot, 2]).start()
+
+                def wait_in(b):
+                    slot = lax.rem(b, 2)
+                    pltpu.make_async_copy(
+                        T_out.at[lane, TX, pl.ds(b * TH, TB), :],
+                        x_bufs.at[slot], in_sems.at[slot, 0]).wait()
+                    pltpu.make_async_copy(
+                        F_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        f_bufs.at[slot], in_sems.at[slot, 1]).wait()
+                    pltpu.make_async_copy(
+                        R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        q_bufs.at[slot], in_sems.at[slot, 2]).wait()
+
+                def wait_out(b):
+                    slot = lax.rem(b, 2)
+                    pltpu.make_async_copy(
+                        r_bufs.at[slot],
+                        T_out.at[lane, TR, pl.ds(b * TH + RING, TH), :],
+                        out_sems.at[slot]).wait()
+
+                start_in(0)
+
+                def loop(b, rr):
+                    slot = lax.rem(b, 2)
+
+                    @pl.when(b + 1 < n_bands)
+                    def _():
+                        start_in(b + 1)
+
+                    wait_in(b)
+                    x = x_bufs[slot]
+                    f = f_bufs.at[slot]
+                    fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+                    # w = M x0 (exact on interior rows: ring 8 >= stencil
+                    # depth 2 of grad + adjoint).
+                    g = fwd_x * (_shift(x, 0, 1) - x) + bwd_x * (x - _shift(x, 0, -1))
+                    h = fwd_y * (_shift(x, 1, 0) - x) + bwd_y * (x - _shift(x, -1, 0))
+                    t1 = f[P11] * g + f[P12] * h - f[P13] * x
+                    t2 = f[P12] * g + f[P22] * h - f[P23] * x
+                    t3 = f[P13] * g + f[P23] * h - f[P33] * x
+                    f1 = fwd_x * t1
+                    b1 = bwd_x * t1
+                    dxt = _shift(f1, 0, -1) - f1 + b1 - _shift(b1, 0, 1)
+                    f2 = fwd_y * t2
+                    b2 = bwd_y * t2
+                    dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
+                    xin = x[RING:RING + TH, :]
+                    ktt = f[KTW, RING:RING + TH, :] * _tilesum(xin, sf)
+                    w = ktt + lam * (dxt + dyt - t3)[RING:RING + TH, :]
+                    # rhs = z0t + lam * (Dx' QB1 + Dy' QB2 - QB3)
+                    q = q_bufs.at[slot]
+                    q1 = fwd_x * q[0]
+                    q1b = bwd_x * q[0]
+                    dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
+                    q2 = fwd_y * q[1]
+                    q2b = bwd_y * q[1]
+                    dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
+                    rhs = (q[3, RING:RING + TH, :]
+                           + lam * (dxq + dyq - q[2])[RING:RING + TH, :])
+                    r = rhs - w
+
+                    @pl.when(b >= 2)
+                    def _():
+                        wait_out(b - 2)
+
+                    r_bufs[slot] = r
+                    pltpu.make_async_copy(
+                        r_bufs.at[slot],
+                        T_out.at[lane, TR, pl.ds(b * TH + RING, TH), :],
+                        out_sems.at[slot]).start()
+                    return rr + jnp.sum(r * r)
+
+                rr = lax.fori_loop(0, n_bands, loop, jnp.float32(0.0))
+                if n_bands >= 2:
+                    wait_out(n_bands - 2)
+                wait_out(n_bands - 1)
+                scal[0, S_R1] = rr
+                r1_ref[lane, 0] = rr
+
+            pl.run_scoped(
+                body,
+                x_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
+                f_bufs=pltpu.VMEM((2, 8, TB, wp), jnp.float32),
+                q_bufs=pltpu.VMEM((2, 4, TB, wp), jnp.float32),
+                r_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
+                in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+                out_sems=pltpu.SemaphoreType.DMA((2,)),
+            )
+
+    @pl.when((phase == 0) & (it >= off))
     def _():
         r1 = scal[0, S_R1]
         active = jnp.where(
-            (r1 > tol_sq) & (it.astype(jnp.float32) <= max_iter),
+            (r1 > tol_sq) & ((it - off).astype(jnp.float32) <= max_iter),
             scal[0, S_ACT], 0.0)
         scal[0, S_ACT] = active
         scal[0, S_BETA] = jnp.where(
-            it == 0, 0.0,
+            it == off, 0.0,
             r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
 
         @pl.when(active > 0.0)
         def _():
             iters_ref[lane, 0] += 1.0
 
-    active = scal[0, S_ACT] > 0.0
-    p_src = TP0 + lax.rem(it, 2)
-    p_dst = TP0 + lax.rem(it + 1, 2)
+    active = (scal[0, S_ACT] > 0.0) & (it >= off)
+    p_src = TP0 + lax.rem(it - off + 2, 2)
+    p_dst = TP0 + lax.rem(it - off + 3, 2)
 
     # ---------------- phase 0: p update + matvec + <p, w> ----------------
     @pl.when(active & (phase == 0))
@@ -357,6 +475,86 @@ def cg_pallas_pipelined_batched(
     )(consts, T, F)
     x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])
     return x, iters[:, 0].astype(jnp.int32), r1[:, 0]
+
+
+def cg_pallas_pipelined_fromop_batched(
+    x0, op, gm, ktw, z0t, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Lane-batched single-launch CG with the initial residual computed
+    IN-KERNEL (iteration-0 prologue): instead of a host-side
+    ``rhs - M x0`` (two full jnp passes per outer iteration), the kernel
+    streams the QB fields and the precomputed ``z0t = KT^T z0s`` once and
+    forms r0 band-by-band. Args as :func:`cg_pallas_pipelined_batched`
+    but with (op, z0t) replacing b_residual; z0t carries a leading batch
+    dim like x0."""
+    B, h, w = x0.shape
+    if sf not in (1, 2, 4):
+        raise ValueError(f"unsupported sf: {sf}")
+    th = pick_th(h, w, pipelined=True)
+    if th is None:
+        raise ValueError(f"grid too wide for pipelined pallas CG: {w}")
+    geo = geometry(h, w, th)
+    F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
+        op, gm, ktw)
+    R0 = jax.vmap(lambda o, z: pad_field(
+        jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
+            z0t, jnp.float32))
+    zero = jnp.zeros((B,) + geo.shape, jnp.float32)
+    T = jnp.stack([
+        jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32)),
+        zero, zero, zero, zero,
+    ], axis=1)  # (B, 5, Hp+2R, Wp)
+    consts = jnp.stack([
+        jnp.full((B,), jnp.float32(tol) ** 2),
+        jnp.zeros((B,), jnp.float32),  # r1_init unused (computed in-kernel)
+        jnp.full((B,), jnp.float32(max_iter)),
+    ], axis=1)  # (B, 3)
+
+    n_bands = geo.n_bands
+    kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands,
+                               th=geo.th, fromop=True)
+    T_new, iters, r1, _scal = pl.pallas_call(
+        kernel,
+        grid=(B, max_iter + 2, 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(T.shape, T.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_pcg.INTERPRET,
+    )(consts, T, F, R0)
+    x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])
+    return x, iters[:, 0].astype(jnp.int32), r1[:, 0]
+
+
+def cg_pallas_pipelined_fromop(
+    x0, op, gm, ktw, z0t, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-problem wrapper over the fromop (in-kernel r0) variant."""
+    add_b = lambda a: jnp.asarray(a)[None]
+    x, iters, r1 = cg_pallas_pipelined_fromop_batched(
+        add_b(x0),
+        jax.tree_util.tree_map(add_b, op),
+        jax.tree_util.tree_map(add_b, gm),
+        add_b(ktw), add_b(z0t), sf=sf, lam=lam, tol=tol, max_iter=max_iter)
+    return x[0], iters[0], r1[0]
 
 
 def cg_pallas_pipelined(

@@ -25,7 +25,7 @@ def oracle_setup(p, prob):
     Dx, Dy, imask, _ = oracle.make_gradient(mask.T.ravel(), p["h"], p["w"])
     masks_o, imasks, KT = oracle.lr_mask_and_KT(mask.T.ravel(), p["h"], p["w"], p["sf"])
     I_pack = np.stack([
-        np.stack([pack(np.asarray(prob.I[i, c]), mask) for c in range(p["c"])])
+        np.stack([pack(np.asarray(prob.I[c, i]), mask) for c in range(p["c"])])
         for i in range(p["n"])
     ])
     xx_p = pack(np.asarray(prob.xx), mask)
@@ -207,7 +207,7 @@ class TestLightingSingular:
         prob = build(p)
         # Zero channel 2 of the images: albedo's closed form keeps rho_prev
         # there, and lighting's guard keeps s.
-        prob = prob._replace(I=prob.I.at[:, 2].set(0.0),
+        prob = prob._replace(I=prob.I.at[2].set(0.0),
                              SI2=prob.SI2.at[2].set(0.0))
         st = srps.init_state(prob, p["z"])
         st = st._replace(rho=st.rho.at[2].set(0.0))

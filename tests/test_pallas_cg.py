@@ -121,6 +121,36 @@ class TestFullCG:
         assert np.sqrt(np.mean(d**2)) / rms < 2e-1
 
 
+class TestFromOpPrologue:
+    @pytest.mark.parametrize("sf", [1, 2, 4])
+    def test_inkernel_r0_matches_host_r0(self, rng, sf):
+        """The iteration-0 prologue (r0 = rhs - M x0 built in-kernel from
+        the QB fields + KT^T z0s) must track the host-side jnp b_res path:
+        identical for a couple of iterations, bounded drift at a cap."""
+        import functools
+        from srmeetsps_cuda_tpu.ops import grid as gridops
+        from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+            cg_pallas_pipelined, cg_pallas_pipelined_fromop)
+
+        h, w = 40, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - srps.depth_matvec(st.z, op, prob, sf, 1.0)
+        z0t = gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf)
+
+        for mi, rtol in [(2, 5e-5), (12, 3e-2)]:
+            x_h, k_h, r_h = cg_pallas_pipelined(
+                st.z, b_res, op, prob.gm, ktw, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_k, k_k, r_k = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, ktw, z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_h) - int(k_k)) <= 1
+            np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_h),
+                                       rtol=rtol, atol=rtol)
+
+
 class TestBatchedCG:
     def test_lane_batched_matches_per_lane(self, rng):
         """Lane-batched single-launch CG == per-lane single solves."""

@@ -70,7 +70,7 @@ def test_three_iteration_trajectory(rng):
     masks_o, imasks, KT = oracle.lr_mask_and_KT(mask.T.ravel(), h, w, sf)
     masks2d = np.asarray(prob.masks)
     I_pack = np.stack([
-        np.stack([pack(np.asarray(prob.I[i, ch]), mask) for ch in range(c)])
+        np.stack([pack(np.asarray(prob.I[ch, i]), mask) for ch in range(c)])
         for i in range(n)])
     xx_p = pack(np.asarray(prob.xx), mask)
     yy_p = pack(np.asarray(prob.yy), mask)
@@ -115,8 +115,12 @@ def test_three_iteration_trajectory(rng):
                 rho_got, state_o["rho"], rtol=2e-2, atol=2e-3,
                 err_msg="rho mismatch at iteration 1")
             assert rmse / scale < 1e-2, f"iter-1 depth RMSE {rmse/scale:.2e}"
+            # Calibration: perturbing the input images by 1 ulp moves this
+            # energy by +-0.4% (the iter-1 CG runs its full 100-iteration
+            # cap unconverged, so the f32-vs-f64 drift is chaotic); 1.5e-2
+            # is ~3 sigma of that measured sensitivity.
             np.testing.assert_allclose(
-                energies[0], energies_o[0], rtol=5e-3,
+                energies[0], energies_o[0], rtol=1.5e-2,
                 err_msg="energy mismatch at iteration 1")
         else:
             assert rmse / scale < 0.1, (
@@ -167,7 +171,7 @@ class TestConvergedRegimeRMSE:
         Dx, Dy, _, _ = oracle.make_gradient(m.T.ravel(), h, w)
         _, _, KT = oracle.lr_mask_and_KT(m.T.ravel(), h, w, sf)
         I_pack = np.stack([
-            np.stack([pack(np.asarray(prob.I[i, cc]), m) for cc in range(c)])
+            np.stack([pack(np.asarray(prob.I[cc, i]), m) for cc in range(c)])
             for i in range(n)])
         rho_p = np.stack([pack(rho[cc], m) for cc in range(c)])
         M, rhs_o, _, _ = oracle.depth_system(
