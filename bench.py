@@ -51,10 +51,11 @@ def synthetic_dataset(h=960, w=1280, sf=2, n=20, c=3):
     return ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
 
 
-def bench_batched(B: int = 2):
+def bench_batched(B: int = 4):
     """BASELINE config 4: batched multi-object throughput (lane-batched
     Pallas CG). Invoke with `python bench.py batched`."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from srmeetsps_cuda_tpu.config import SolverConfig
@@ -73,12 +74,12 @@ def bench_batched(B: int = 2):
     prob_b = batched.stack_problems([prob] * B)
     st_b = batched.stack_states([st] * B)
     final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
-    float(np.asarray(final.z).sum())
+    float(np.asarray(jnp.sum(final.z)))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
-        float(np.asarray(final.z).sum())
+        float(np.asarray(jnp.sum(final.z)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     print(json.dumps({
@@ -93,6 +94,7 @@ def bench_batched(B: int = 2):
 
 def _timed_solve(data, cfg, metric):
     """Shared fused-solve timing + one-line JSON output."""
+    import jax.numpy as jnp
     import numpy as np
 
     from srmeetsps_cuda_tpu.runtime.solver import prepare, _jit_solve_fused
@@ -100,12 +102,12 @@ def _timed_solve(data, cfg, metric):
     sf = int(data.sf)
     prob, st = prepare(data, cfg)
     final, trace = _jit_solve_fused(st, prob, sf, cfg)
-    float(np.asarray(final.z).sum())
+    float(np.asarray(jnp.sum(final.z)))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         final, trace = _jit_solve_fused(st, prob, sf, cfg)
-        float(np.asarray(final.z).sum())
+        float(np.asarray(jnp.sum(final.z)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     print(json.dumps({
@@ -149,6 +151,93 @@ def bench_1080p():
     _timed_solve(data, SolverConfig(use_pallas=True), "1080p_sf2_e2e_solve")
 
 
+def device_metrics(prob, state, sf, cfg):
+    """Dispatch-free device-side metrics via chained-call differencing.
+
+    The axon tunnel adds 100-300 ms of nondeterministic per-call overhead,
+    so wall-clock e2e numbers carry that noise; marginal times between two
+    chain lengths cancel it. Returns ms/outer-iteration, ms/CG-iteration,
+    and the effective HBM GB/s of the pipelined CG kernel against its
+    bytes model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from srmeetsps_cuda_tpu.models import srps
+    from srmeetsps_cuda_tpu.solve import pallas_cg as _pcg
+    from srmeetsps_cuda_tpu.solve.pallas_cg import geometry, make_ktw, pick_th
+    from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import cg_pallas_pipelined
+    import functools
+
+    st = jax.jit(srps.srps_iteration, static_argnums=(2, 3))(
+        state, prob, sf, cfg)
+    np.asarray(st.z)
+
+    def marginal(f, n_lo=4, n_hi=24, reps=5):
+        out = {}
+        for n in (n_lo, n_hi):
+            np.asarray(jnp.sum(f(n)))  # compile + warm
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(jnp.sum(f(n)))
+                best = min(best, time.perf_counter() - t0)
+            out[n] = best
+        return (out[n_hi] - out[n_lo]) / (n_hi - n_lo)
+
+    # ms per full outer iteration (lighting+albedo+depth CG+normals).
+    def outer_loop(n, carry, prob):
+        def body(i, c):
+            z, rho, s = c
+            st2 = srps.srps_iteration(
+                st._replace(z=z, rho=rho, s=s), prob, sf, cfg)
+            return (st2.z, st2.rho, st2.s)
+        return lax.fori_loop(0, n, body, carry)[0]
+
+    f_outer = jax.jit(outer_loop, static_argnums=0)
+    carry = (st.z, st.rho, st.s)
+    ms_outer = marginal(lambda n: f_outer(n, carry, prob)) * 1e3
+
+    # ms per CG iteration: one kernel call at two iteration caps.
+    mom = srps.s_moments(prob, st.s)
+    op = srps.build_depth_operator(prob, mom, st.rho, st.dz, cfg.lam)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    rhs = srps.depth_rhs(op, prob, sf, cfg.lam)
+    b_res = rhs - srps.depth_matvec(st.z, op, prob, sf, cfg.lam)
+
+    def cg_call(mi):
+        f = jax.jit(functools.partial(
+            cg_pallas_pipelined, sf=sf, lam=cfg.lam, tol=1e-30, max_iter=mi))
+        np.asarray(f(st.z, b_res, op, prob.gm, ktw)[0])
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            x, k, r1 = f(st.z, b_res, op, prob.gm, ktw)
+            np.asarray(x.sum())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    s_per_iter = (cg_call(400) - cg_call(100)) / 300
+
+    # Bytes model of one pipelined CG iteration (see pallas_cg_pipe._kernel):
+    # phase 0 reads (r, p, 8 packed F rows) x TB-row bands and writes
+    # (p, w) x TH; phase 1 reads (x, r, w, p) and writes (x, r) x TH.
+    h, w = st.z.shape
+    th = pick_th(h, w, pipelined=True)
+    geo = geometry(h, w, th)
+    tb = geo.th + 2 * _pcg.RING
+    bytes_iter = (10 * tb + 2 * geo.th + 6 * geo.th) * geo.n_bands \
+        * geo.shape[1] * 4
+    gbps = bytes_iter / s_per_iter / 1e9
+    return {
+        "ms_per_outer_iter": round(ms_outer, 3),
+        "ms_per_cg_iter": round(s_per_iter * 1e3, 4),
+        "cg_bytes_per_iter_mb": round(bytes_iter / 1e6, 1),
+        "gbps": round(gbps, 1),
+    }
+
+
 def main():
     import jax
 
@@ -168,12 +257,13 @@ def main():
     sf = int(data.sf)
     prob, state0 = prepare(data, cfg)
 
+    import jax.numpy as jnp
     import numpy as np
 
     # Warm-up: compile + one full solve. NOTE: block_until_ready does not
     # reliably block through the remote-TPU tunnel; force a host transfer.
     final, trace = _jit_solve_fused(state0, prob, sf, cfg)
-    float(np.asarray(final.z).sum())
+    float(np.asarray(jnp.sum(final.z)))
 
     # Timed runs. The remote-dispatch overhead through the TPU tunnel has
     # ~150 ms jitter per call; report best-of-N (the reproducible device
@@ -183,7 +273,7 @@ def main():
     for _ in range(runs):
         t0 = time.perf_counter()
         final, trace = _jit_solve_fused(state0, prob, sf, cfg)
-        float(np.asarray(final.z).sum())
+        float(np.asarray(jnp.sum(final.z)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
@@ -200,13 +290,14 @@ def main():
         "device": str(jax.devices()[0]),
         "dataset": ds or "synthetic",
     }
+    result.update(device_metrics(prob, state0, sf, cfg))
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "batched":
-        bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+        bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif mode == "sf4":
         bench_sf4()
     elif mode == "1080p":

@@ -62,6 +62,13 @@ class SolverConfig:
     # Pallas variant: True = the whole CG loop in one kernel launch
     # (solve/pallas_cg_fused.py); False = two kernel calls per iteration.
     pallas_fused_loop: bool = True
+    # CG kernel flavour for the fused loop: "pipe" = standard CG,
+    # double-buffered band streaming, two phases per iteration (default;
+    # rounding tracks the jnp CG); "cgs" = Chronopoulos-Gear
+    # single-reduction CG, ONE fused sweep per iteration
+    # (solve/pallas_cg_cgs.py) — an opt-in perf mode whose alpha
+    # recurrence reorders rounding vs standard CG.
+    pallas_cg_variant: str = "pipe"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -422,15 +422,21 @@ def estimate_depth(
         from ..solve.pallas_cg_pipe import (cg_pallas_pipelined,
                                             cg_pallas_pipelined_fromop)
 
+        from ..solve import pallas_cg_cgs as _cgs
+
         ktw = make_ktw(prob.mask, prob.masks, sf)
-        if cfg.pallas_fused_loop and _pcg.supported(h, w, sf, pipelined=True):
-            # Double-buffered mega-kernel with the initial residual built
-            # in-kernel — no host-side rhs/matvec passes at all. z0t is
-            # outer-iteration-invariant (XLA hoists it out of solve_fused's
-            # while_loop).
+        use_cgs = (cfg.pallas_fused_loop and cfg.pallas_cg_variant == "cgs"
+                   and _cgs.supported_cgs(h, w, sf))
+        if use_cgs or (cfg.pallas_fused_loop
+                       and _pcg.supported(h, w, sf, pipelined=True)):
+            # Mega-kernel with the initial residual built in-kernel — no
+            # host-side rhs/matvec passes at all. z0t is outer-iteration-
+            # invariant (XLA hoists it out of solve_fused's while_loop).
             z0t = gridops.resample_masked_t(
                 prob.z0s, prob.mask, prob.masks, sf)
-            x, iters, _ = cg_pallas_pipelined_fromop(
+            cg_fromop = (_cgs.cg_pallas_cgs if use_cgs
+                         else cg_pallas_pipelined_fromop)
+            x, iters, _ = cg_fromop(
                 z, op, prob.gm, ktw, z0t, sf=sf, lam=lam,
                 tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         else:

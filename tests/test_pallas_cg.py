@@ -151,6 +151,51 @@ class TestFromOpPrologue:
                                        rtol=rtol, atol=rtol)
 
 
+class TestChronopoulosGearCG:
+    @pytest.mark.parametrize("sf", [1, 2, 4])
+    def test_matches_standard_cg(self, rng, sf):
+        """The single-reduction (CGS) kernel's alpha/beta recurrences are
+        algebraically identical to standard CG: exact parity for a couple
+        of iterations, bounded drift at an unconverged cap (the recurrence
+        reorders rounding — that is the documented trade)."""
+        from srmeetsps_cuda_tpu.ops import grid as gridops
+        from srmeetsps_cuda_tpu.solve.pallas_cg_cgs import cg_pallas_cgs
+        from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+            cg_pallas_pipelined_fromop)
+
+        h, w = 40, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+        z0t = gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf)
+
+        for mi, rtol in [(2, 1e-4), (12, 5e-2)]:
+            x_s, k_s, r_s = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, ktw, z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_c, k_c, r_c = cg_pallas_cgs(
+                st.z, op, prob.gm, ktw, z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_c)) <= 1
+            d = np.asarray(x_c) - np.asarray(x_s)
+            rms = max(float(np.sqrt(np.mean(np.asarray(x_s) ** 2))), 1e-12)
+            assert float(np.sqrt(np.mean(d ** 2))) / rms < rtol
+
+    def test_solver_config_routes_cgs(self, rng):
+        """estimate_depth honours pallas_cg_variant='cgs' and tracks the
+        standard path at the energy level."""
+        sf = 2
+        prob, st, mom, op = _problem(rng, 32, 32, sf)
+        z_p, e_p, it_p = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, sf,
+            SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True))
+        z_c, e_c, it_c = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, sf,
+            SolverConfig(cg_tol=1e-4, cg_max_iter=25, use_pallas=True,
+                         pallas_cg_variant="cgs"))
+        assert abs(int(it_p) - int(it_c)) <= 2
+        np.testing.assert_allclose(float(e_c), float(e_p), rtol=5e-2)
+
+
 class TestBatchedCG:
     def test_lane_batched_matches_per_lane(self, rng):
         """Lane-batched single-launch CG == per-lane single solves."""

@@ -1,0 +1,163 @@
+"""Hardware lane: compile + run every Pallas CG variant on the real TPU.
+
+The main suite runs the kernels in interpret mode on a forced 8-CPU mesh
+(tests/conftest.py), which validates semantics but would stay green across
+a Mosaic/libtpu compile regression. This module is the counterpart: each
+kernel variant is Mosaic-compiled and executed on the actual chip, checked
+against the jnp CG at a short horizon.
+
+Deselected by default (pyproject addopts `-m "not tpu"`); run standalone:
+
+    python -m pytest -m tpu tests/test_tpu_hw.py -v
+
+Must run in a fresh process (the fixture re-points jax_platforms away from
+the conftest's CPU pin before the first backend touch; it skips cleanly if
+a CPU backend is already initialised or no TPU is reachable).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", None)
+        dev = jax.devices()[0]
+    except Exception as e:  # backend pinned/initialised or no TPU
+        pytest.skip(f"no TPU backend reachable: {e}")
+    if dev.platform not in ("tpu", "axon") and "TPU" not in str(dev):
+        pytest.skip(f"first device is not a TPU: {dev}")
+    return dev
+
+
+@pytest.fixture(scope="module")
+def problem(tpu):
+    import jax.numpy as jnp
+    from conftest import random_mask
+    from srmeetsps_cuda_tpu.models import srps
+
+    rng = np.random.default_rng(0)
+    h, w, sf, n, c = 64, 128, 2, 3, 3
+    mask = random_mask(rng, h, w)
+    I = rng.random((n, c, h, w)).astype(np.float32)
+    K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+    z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+    prob = srps.build_problem(I, mask, K, sf, z0s)
+    z = (rng.random((h, w)).astype(np.float32) + 0.5) * np.asarray(prob.mask)
+    st = srps.init_state(prob, jnp.asarray(z))
+    mom = srps.s_moments(prob, st.s)
+    op = srps.build_depth_operator(prob, mom, st.rho, st.dz, 1.0)
+    return prob, st, op, sf
+
+
+def _ref(prob, st, op, sf, max_iter):
+    import jax.numpy as jnp
+    from srmeetsps_cuda_tpu.models import srps
+    from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+    mv = functools.partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                           lam=1.0)
+    rhs = srps.depth_rhs(op, prob, sf, 1.0)
+    b_res = rhs - mv(st.z)
+    res = conjugate_gradient(mv, b_res, st.z, tol=1e-4, max_iter=max_iter)
+    return b_res, res
+
+
+def _check(x, k, res, rtol=1e-3):
+    assert abs(int(k) - int(res.iterations)) <= 1
+    xa = np.asarray(x)
+    assert np.all(np.isfinite(xa))
+    d = xa - np.asarray(res.x)
+    rms = np.sqrt(np.mean(np.asarray(res.x) ** 2))
+    assert np.sqrt(np.mean(d ** 2)) / rms < rtol
+
+
+def test_two_call_kernel_on_hw(problem):
+    from srmeetsps_cuda_tpu.solve.pallas_cg import cg_pallas, make_ktw
+
+    prob, st, op, sf = problem
+    b_res, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas(st.z, b_res, op, prob.gm, ktw, sf=sf, lam=1.0,
+                        tol=1e-4, max_iter=8)
+    _check(x, k, res)
+
+
+def test_fused_kernel_on_hw(problem):
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_fused import cg_pallas_fused
+
+    prob, st, op, sf = problem
+    b_res, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas_fused(st.z, b_res, op, prob.gm, ktw, sf=sf, lam=1.0,
+                              tol=1e-4, max_iter=8)
+    _check(x, k, res)
+
+
+def test_pipelined_kernel_on_hw(problem):
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import cg_pallas_pipelined
+
+    prob, st, op, sf = problem
+    b_res, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas_pipelined(st.z, b_res, op, prob.gm, ktw, sf=sf,
+                                  lam=1.0, tol=1e-4, max_iter=8)
+    _check(x, k, res)
+
+
+def test_fromop_prologue_on_hw(problem):
+    from srmeetsps_cuda_tpu.ops import grid as gridops
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+        cg_pallas_pipelined_fromop)
+
+    prob, st, op, sf = problem
+    _, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    z0t = gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas_pipelined_fromop(st.z, op, prob.gm, ktw, z0t, sf=sf,
+                                         lam=1.0, tol=1e-4, max_iter=8)
+    _check(x, k, res)
+
+
+def test_cgs_kernel_on_hw(problem):
+    from srmeetsps_cuda_tpu.ops import grid as gridops
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_cgs import cg_pallas_cgs
+
+    prob, st, op, sf = problem
+    _, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    z0t = gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas_cgs(st.z, op, prob.gm, ktw, z0t, sf=sf,
+                            lam=1.0, tol=1e-4, max_iter=8)
+    _check(x, k, res, rtol=5e-3)
+
+
+def test_batched_pipelined_on_hw(problem):
+    import jax
+    import jax.numpy as jnp
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+        cg_pallas_pipelined_batched)
+
+    prob, st, op, sf = problem
+    b_res, res = _ref(prob, st, op, sf, 8)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    stack2 = lambda a: jnp.stack([jnp.asarray(a)] * 2)
+    xb, kb, _ = cg_pallas_pipelined_batched(
+        stack2(st.z), stack2(b_res),
+        jax.tree_util.tree_map(stack2, op),
+        jax.tree_util.tree_map(stack2, prob.gm),
+        stack2(ktw), sf=sf, lam=1.0, tol=1e-4, max_iter=8)
+    for b in range(2):
+        _check(xb[b], kb[b], res)
