@@ -261,7 +261,7 @@ def _vmem_rows_per_width(th: int, pipelined: bool) -> int:
     return 13 * tb + th
 
 
-def pick_th(h: int, w: int, vmem_budget: int = 12 << 20,
+def pick_th(h: int, w: int, vmem_budget: int = 28 << 20,
             pipelined: bool = True):
     """Largest band height whose VMEM footprint fits the budget at this
     width — wide grids (1080p/4K) automatically run shorter bands instead
@@ -277,7 +277,7 @@ def pick_th(h: int, w: int, vmem_budget: int = 12 << 20,
     return None
 
 
-def supported(h: int, w: int, sf: int, vmem_budget: int = 12 << 20,
+def supported(h: int, w: int, sf: int, vmem_budget: int = 28 << 20,
               pipelined: bool = True) -> bool:
     """Whether the fused kernels fit this problem (width-driven VMEM, with
     adaptive band height via :func:`pick_th`).
@@ -352,7 +352,8 @@ def _call_kernel_a(S, p, p_alt, F, beta, geo: PaddedGeometry, lam: float,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         input_output_aliases={3: 0, 1: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=INTERPRET,
     )(beta, S, p, p_alt, F)
     return p_new, S_new, pw
@@ -377,7 +378,8 @@ def _call_kernel_b(S, p, alpha, geo: PaddedGeometry):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=INTERPRET,
     )(alpha, S, p)
     return S_new, rr

@@ -361,7 +361,7 @@ def _vmem_rows_per_width_cgs(th: int) -> int:
     return 2 * (11 * tb + 7 * th)
 
 
-def pick_th_cgs(h: int, w: int, vmem_budget: int = 24 << 20):
+def pick_th_cgs(h: int, w: int, vmem_budget: int = 28 << 20):
     wp = -(-w // 128) * 128
     for th in (64, 32, 16, 8):
         if th > max(8, -(-h // 8) * 8):
@@ -437,7 +437,8 @@ def cg_pallas_cgs_batched(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=_pcg.INTERPRET,
     )(consts, T, F, R0)
     x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])

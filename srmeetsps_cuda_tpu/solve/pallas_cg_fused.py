@@ -263,7 +263,8 @@ def cg_pallas_fused(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=_pcg.INTERPRET,
     )(consts, T, F)
     return (unpad_field(T_new[TX], geo),

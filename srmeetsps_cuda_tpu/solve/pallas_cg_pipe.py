@@ -470,7 +470,8 @@ def cg_pallas_pipelined_batched(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=_pcg.INTERPRET,
     )(consts, T, F)
     x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])
@@ -536,7 +537,8 @@ def cg_pallas_pipelined_fromop_batched(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=40 << 20),
         interpret=_pcg.INTERPRET,
     )(consts, T, F, R0)
     x = jax.vmap(lambda a: unpad_field(a, geo))(T_new[:, TX])

@@ -262,10 +262,13 @@ class TestBatchedCG:
 
 class TestAdaptiveBandHeight:
     def test_pick_th_narrows_with_width(self):
+        # Budget is sized against the Mosaic scoped-vmem limit raised via
+        # CompilerParams(vmem_limit_bytes) — the default 16 MB limit was
+        # the binding constraint before, not physical VMEM (128 MB).
         assert pallas_cg.pick_th(960, 1280, pipelined=True) == 64
-        assert pallas_cg.pick_th(1088, 1920, pipelined=True) == 32
-        assert pallas_cg.pick_th(2176, 3840, pipelined=True) == 16
-        assert pallas_cg.pick_th(4352, 7680, pipelined=True) is None
+        assert pallas_cg.pick_th(1088, 1920, pipelined=True) == 64
+        assert pallas_cg.pick_th(2176, 3840, pipelined=True) == 64
+        assert pallas_cg.pick_th(4352, 7680, pipelined=True) == 16
         # single-buffer variants fit wider at the same th
         assert pallas_cg.pick_th(1088, 1920, pipelined=False) == 64
 
