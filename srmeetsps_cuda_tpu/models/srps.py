@@ -62,12 +62,17 @@ HI = lax.Precision.HIGHEST
 
 
 class SRPSProblem(NamedTuple):
-    """Static problem data (device arrays). Shapes: I (c,n,h,w) —
-    channel-major so the per-channel image contractions (s_moments J,
-    lighting ATb) lower to clean c-batched matmuls instead of
-    transpose-heavy dotgenerals; mask (h,w); masks (h/sf, w/sf); z0s like
-    masks; xx/yy (h,w); SI2 (c,h,w). ``build_problem`` takes (n,c,h,w)
-    input (the loader layout) and transposes once."""
+    """Static problem data (device arrays). Shapes: I (c, n, h*w) —
+    channel-major AND pixel-flattened so the per-channel image
+    contractions (s_moments J, lighting ATb) lower to clean c-batched
+    matmuls with NO per-iteration relayout (TPU tiled layouts make an
+    (h,w)->(h*w) reshape a physical 295 MB retile, and XLA does not hoist
+    it out of the outer while_loop); mask (h,w); masks (h/sf, w/sf); z0s
+    like masks; xx/yy (h,w); SI2 (c,h,w); z0t/ktw (h,w) precomputed
+    outer-iteration invariants (KT^T z0s and the KT^T KT weight field) —
+    XLA's while-loop LICM fails to hoist their upsample relayouts too
+    (measured 2.5 ms/outer-iteration). ``build_problem`` takes (n,c,h,w)
+    input (the loader layout) and transposes/flattens once."""
 
     I: jax.Array
     mask: jax.Array
@@ -79,6 +84,8 @@ class SRPSProblem(NamedTuple):
     fy: jax.Array
     gm: GradientMasks
     SI2: jax.Array  # sum_i I^2, per channel — energy constant term
+    z0t: jax.Array  # KT^T z0s (h,w) — depth rhs term, solve-invariant
+    ktw: jax.Array  # mask * up(masks) / sf^4 — KT^T KT weight (h,w)
 
 
 class SRPSState(NamedTuple):
@@ -133,24 +140,33 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
     yy = yy * mask
     SI2 = jnp.einsum(
         "cnhw->chw", (I * I).astype(jnp.float32))
+    z0s = jnp.asarray(z0s, jnp.float32) * masks
+    c_ = I.shape[0]
+    n_ = I.shape[1]
+    hl, wl = masks.shape
+    up = jnp.broadcast_to(masks[:, None, :, None], (hl, sf, wl, sf)
+                          ).reshape(hl * sf, wl * sf)
     return SRPSProblem(
-        I=I,
+        I=I.reshape(c_, n_, h * w),
         mask=mask,
         masks=masks,
-        z0s=jnp.asarray(z0s, jnp.float32) * masks,
+        z0s=z0s,
         xx=xx,
         yy=yy,
         fx=jnp.float32(K[0][0]),
         fy=jnp.float32(K[1][1]),
         gm=GradientMasks.from_mask(mask),
         SI2=SI2,
+        z0t=gridops.resample_masked_t(z0s, mask, masks, sf),
+        ktw=mask * up / float(sf ** 4),
     )
 
 
 def init_state(prob: SRPSProblem, z_init) -> SRPSState:
     """Initial state mirroring SRPS.cu:206-270: s = [0,0,-1,0] per
     (image, channel), rho = 0.5 on the mask, normals from the initial z."""
-    c, n, h, w = prob.I.shape
+    h, w = prob.mask.shape
+    c, n = prob.I.shape[:2]
     s = jnp.zeros((n, c, 4), jnp.float32).at[:, :, 2].set(-1.0)
     rho = jnp.broadcast_to(0.5 * prob.mask, (c, h, w))
     z = jnp.asarray(z_init, jnp.float32) * prob.mask
@@ -186,7 +202,8 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     s — so when the direct solve produces non-finite values, ``s_prev`` is
     kept instead.
     """
-    c, n, h, w = prob.I.shape
+    h, w = prob.mask.shape
+    c, n = prob.I.shape[:2]
     # ATA[c,a,b] = sum_p rho_c^2 N_a N_b — ten unique masked reductions,
     # unrolled over the tiny (a, b) axes so XLA fuses them into one pass
     # over rho/N (materialising T = rho*N costs an extra 2x c x npix
@@ -203,8 +220,7 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     # ATb[n,c,a] = <rho_c N_a, I_cn> — a c-batched (4,P)@(P,n) matmul on
     # the channel-major image layout.
     T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
-    If = prob.I.reshape(c, n, h * w)
-    ATb = jnp.einsum("cap,cnp->nca", T, If, precision=HI,
+    ATb = jnp.einsum("cap,cnp->nca", T, prob.I, precision=HI,
                      preferred_element_type=jnp.float32)  # (n,c,4)
     ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
     sol = jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
@@ -225,12 +241,13 @@ class SMoments(NamedTuple):
 
 
 def s_moments(prob: SRPSProblem, s) -> SMoments:
-    c, n, h, w = prob.I.shape
+    h, w = prob.mask.shape
+    c, n = prob.I.shape[:2]
     G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
-    # c-batched (4,n)@(n,P) matmul on the channel-major layout — one
-    # clean streaming pass over I.
+    # c-batched (4,n)@(n,P) matmul on the pre-flattened channel-major
+    # layout — one clean streaming pass over I, no relayout.
     J = jnp.einsum(
-        "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I.reshape(c, n, h * w),
+        "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I,
         precision=HI, preferred_element_type=jnp.float32,
     ).reshape(c, 4, h, w)
     return SMoments(G, J)
@@ -358,7 +375,7 @@ def depth_rhs(op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
         + gradops.grad_y_t(op.QB2, prob.gm)
         - op.QB3
     )
-    return gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf) + lam * atb
+    return prob.z0t + lam * atb
 
 
 def depth_diag(op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
@@ -381,15 +398,7 @@ def depth_diag(op: DepthOperator, prob: SRPSProblem, sf: int, lam: float):
     cross = 2.0 * op.P12 * sigx * sigy
     lin = -2.0 * op.P13 * sigx - 2.0 * op.P23 * sigy
     ata_diag = dxx + dyy + cross + lin + op.P33
-    hl, wl = prob.masks.shape
-    kt_diag = (
-        jnp.broadcast_to(
-            prob.masks[:, None, :, None], (hl, sf, wl, sf)
-        ).reshape(hl * sf, wl * sf)
-        * prob.mask
-        / float(sf**4)
-    )
-    d = kt_diag + lam * ata_diag
+    d = prob.ktw + lam * ata_diag  # ktw IS diag(KT^T KT) on the HR grid
     return jnp.where(d > 0, d, 1.0)
 
 
@@ -424,20 +433,20 @@ def estimate_depth(
 
         from ..solve import pallas_cg_cgs as _cgs
 
-        ktw = make_ktw(prob.mask, prob.masks, sf)
+        # ktw / z0t are precomputed problem fields: XLA's while-loop LICM
+        # does not hoist their upsample relayouts, so recomputing them here
+        # cost ~2.5 ms per outer iteration (profiled).
+        ktw = prob.ktw
         use_cgs = (cfg.pallas_fused_loop and cfg.pallas_cg_variant == "cgs"
                    and _cgs.supported_cgs(h, w, sf))
         if use_cgs or (cfg.pallas_fused_loop
                        and _pcg.supported(h, w, sf, pipelined=True)):
             # Mega-kernel with the initial residual built in-kernel — no
-            # host-side rhs/matvec passes at all. z0t is outer-iteration-
-            # invariant (XLA hoists it out of solve_fused's while_loop).
-            z0t = gridops.resample_masked_t(
-                prob.z0s, prob.mask, prob.masks, sf)
+            # host-side rhs/matvec passes at all.
             cg_fromop = (_cgs.cg_pallas_cgs if use_cgs
                          else cg_pallas_pipelined_fromop)
             x, iters, _ = cg_fromop(
-                z, op, prob.gm, ktw, z0t, sf=sf, lam=lam,
+                z, op, prob.gm, ktw, prob.z0t, sf=sf, lam=lam,
                 tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         else:
             # two kernel calls per iteration / single-buffer mega-kernel

@@ -37,8 +37,7 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     unsupported on TPU; everything else vmaps as plain jnp)."""
     from ..ops import gradients as gradops
     from ..ops.normals import normals_from_depth
-    from ..solve.pallas_cg import make_ktw
-    from ..solve.pallas_cg_pipe import cg_pallas_pipelined_batched
+    from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop_batched
 
     lam = cfg.lam
     s = jax.vmap(srps.estimate_lighting)(probs, states.rho, states.N, states.s)
@@ -46,12 +45,11 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     rho = jax.vmap(srps.estimate_albedo)(probs, mom, states.N, states.rho)
     op = jax.vmap(lambda p, m, r, d: srps.build_depth_operator(p, m, r, d, lam)
                   )(probs, mom, rho, states.dz)
-    mv = lambda v, o, p: srps.depth_matvec(v, o, p, sf, lam)
-    rhs = jax.vmap(lambda o, p: srps.depth_rhs(o, p, sf, lam))(op, probs)
-    b_res = rhs - jax.vmap(mv)(states.z, op, probs)
-    ktw = jax.vmap(lambda m, ms: make_ktw(m, ms, sf))(probs.mask, probs.masks)
-    x, cg_iters, _ = cg_pallas_pipelined_batched(
-        states.z, b_res, op, probs.gm, ktw, sf=sf, lam=lam,
+    # In-kernel r0 prologue: no host-side rhs/matvec passes, and the
+    # precomputed probs.ktw / probs.z0t fields avoid the per-iteration
+    # upsample relayouts (same as the single-problem path).
+    x, cg_iters, _ = cg_pallas_pipelined_fromop_batched(
+        states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
         tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
     z = x * probs.mask
     energy = jax.vmap(lambda zz, o, p: srps.depth_energy(zz, o, p, sf, lam)

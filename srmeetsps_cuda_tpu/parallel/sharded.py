@@ -72,18 +72,32 @@ def _small_leaves(leaf) -> bool:
     return leaf.ndim < 2 or leaf.shape[-1] < 8
 
 
+def _is_image_stack(path) -> bool:
+    """The pixel-flattened image stack I (c, n, h*w) needs its own spec:
+    its pixel axis is the LAST dim (contiguous row-major blocks == row
+    bands when h divides the shard count), and its other dims (c, n) are
+    tiny/non-divisible."""
+    return bool(path) and getattr(path[-1], "name", None) == "I"
+
+
 def shard_pytree(tree, mesh: Mesh, batched: bool = False):
     """Apply NamedShardings to every leaf of a problem/state pytree."""
 
-    def place(leaf):
+    def place(path, leaf):
         leaf = jnp.asarray(leaf)
-        if _small_leaves(leaf):
+        if _is_image_stack(path):
+            spec = [None] * leaf.ndim
+            spec[-1] = ("x", "y")
+            if batched:
+                spec[0] = "data"
+            spec = P(*spec)
+        elif _small_leaves(leaf):
             spec = P("data") if (batched and leaf.ndim >= 1) else P()
         else:
             spec = _spec_for(leaf, mesh, batched)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def solve_sharded(
@@ -120,17 +134,20 @@ def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
 
 def shard_pytree_rows(tree, mesh: Mesh, axis: str = "x"):
     """Row-band placement: (…, h, w) leaves sharded over `axis` on the
-    second-to-last dim; small leaves replicated."""
+    second-to-last dim; the flat image stack on its pixel (last) dim —
+    contiguous pixel blocks ARE row bands; small leaves replicated."""
 
-    def place(leaf):
+    def place(path, leaf):
         leaf = jnp.asarray(leaf)
-        if _small_leaves(leaf):
+        if _is_image_stack(path):
+            spec = P(*([None] * (leaf.ndim - 1) + [axis]))
+        elif _small_leaves(leaf):
             spec = P()
         else:
             spec = P(*([None] * (leaf.ndim - 2) + [axis, None]))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,

@@ -58,10 +58,11 @@ def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig(),
     (SRPS.cu:100-270)."""
     h, w = data.mask.shape
     zs, z_init = preprocess_depth(data.z0, h, w, cfg)
-    prob = srps.build_problem(data.I, data.mask, data.K, data.sf, zs * 0.0,
+    # build_problem masks z0s with the LR mask itself (SRPS.cu:236-239)
+    # and precomputes the z0s-derived invariants (z0t = KT^T z0s) — pass
+    # the real zs; a later _replace(z0s=...) would leave z0t stale.
+    prob = srps.build_problem(data.I, data.mask, data.K, data.sf, zs,
                               image_dtype=cfg.image_dtype)
-    # z0s is the masked smoothed LR depth (SRPS.cu:236-239).
-    prob = prob._replace(z0s=jax.numpy.asarray(zs) * prob.masks)
     state = srps.init_state(prob, z_init)
     if return_zs:
         # zs is the *unmasked* smoothed LR grid — what the reference dumps

@@ -25,7 +25,7 @@ def oracle_setup(p, prob):
     Dx, Dy, imask, _ = oracle.make_gradient(mask.T.ravel(), p["h"], p["w"])
     masks_o, imasks, KT = oracle.lr_mask_and_KT(mask.T.ravel(), p["h"], p["w"], p["sf"])
     I_pack = np.stack([
-        np.stack([pack(np.asarray(prob.I[c, i]), mask) for c in range(p["c"])])
+        np.stack([pack(np.asarray(prob.I[c, i]).reshape(mask.shape), mask) for c in range(p["c"])])
         for i in range(p["n"])
     ])
     xx_p = pack(np.asarray(prob.xx), mask)

@@ -70,7 +70,7 @@ def test_three_iteration_trajectory(rng):
     masks_o, imasks, KT = oracle.lr_mask_and_KT(mask.T.ravel(), h, w, sf)
     masks2d = np.asarray(prob.masks)
     I_pack = np.stack([
-        np.stack([pack(np.asarray(prob.I[ch, i]), mask) for ch in range(c)])
+        np.stack([pack(np.asarray(prob.I[ch, i]).reshape(mask.shape), mask) for ch in range(c)])
         for i in range(n)])
     xx_p = pack(np.asarray(prob.xx), mask)
     yy_p = pack(np.asarray(prob.yy), mask)
@@ -171,7 +171,7 @@ class TestConvergedRegimeRMSE:
         Dx, Dy, _, _ = oracle.make_gradient(m.T.ravel(), h, w)
         _, _, KT = oracle.lr_mask_and_KT(m.T.ravel(), h, w, sf)
         I_pack = np.stack([
-            np.stack([pack(np.asarray(prob.I[cc, i]), m) for cc in range(c)])
+            np.stack([pack(np.asarray(prob.I[cc, i]).reshape(m.shape), m) for cc in range(c)])
             for i in range(n)])
         rho_p = np.stack([pack(rho[cc], m) for cc in range(c)])
         M, rhs_o, _, _ = oracle.depth_system(
