@@ -51,9 +51,10 @@ def synthetic_dataset(h=960, w=1280, sf=2, n=20, c=3):
     return ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
 
 
-def bench_batched(B: int = 4):
+def bench_batched(B: int = 4, image_dtype: str = "float32"):
     """BASELINE config 4: batched multi-object throughput (lane-batched
-    Pallas CG). Invoke with `python bench.py batched`."""
+    Pallas CG). Invoke with `python bench.py batched [B]`; bf16 images
+    (halved image-pass HBM traffic) via `python bench.py batched-bf16`."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -69,7 +70,7 @@ def bench_batched(B: int = 4):
         data = load_image_dataset(ds)
     else:
         data = synthetic_dataset()
-    cfg = SolverConfig(use_pallas=True)
+    cfg = SolverConfig(use_pallas=True, image_dtype=image_dtype)
     prob, st = prepare(data, cfg)
     prob_b = batched.stack_problems([prob] * B)
     st_b = batched.stack_states([st] * B)
@@ -83,7 +84,8 @@ def bench_batched(B: int = 4):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     print(json.dumps({
-        "metric": f"mitten_sf2_batched{B}_solve",
+        "metric": f"mitten_sf2_batched{B}_solve"
+                  + ("_bf16" if image_dtype == "bfloat16" else ""),
         "value": round(B / dt, 4),
         "unit": "solves/sec",
         "vs_baseline": round(BASELINE_SECONDS / (dt / B), 3),
@@ -298,6 +300,9 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "batched":
         bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif mode == "batched-bf16":
+        bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+                      image_dtype="bfloat16")
     elif mode == "sf4":
         bench_sf4()
     elif mode == "1080p":

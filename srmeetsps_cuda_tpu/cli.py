@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-from", default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas CG kernels (TPU)")
+    p.add_argument("--cg-variant", choices=["pipe", "cgs"], default="pipe",
+                   help="Pallas CG flavour: pipe = standard two-phase "
+                        "pipelined kernel (default); cgs = Chronopoulos-"
+                        "Gear single-reduction sweep (opt-in perf mode, "
+                        "reorders rounding)")
+    p.add_argument("--image-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="image stack dtype; bfloat16 halves the HBM "
+                        "traffic of the per-iteration image passes")
     p.add_argument("--sharded", type=int, default=0, metavar="N",
                    help="grid-shard the solve over N devices (1D row-band "
                    "mesh, manual halo-exchange CG; 0 = off)")
@@ -100,6 +109,8 @@ def main(argv=None) -> int:
         lam=args.lam,
         jacobi_preconditioner=args.jacobi,
         use_pallas=args.pallas,
+        pallas_cg_variant=args.cg_variant,
+        image_dtype=args.image_dtype,
     )
     rt = RuntimeConfig(
         dump_iterations=args.dump,

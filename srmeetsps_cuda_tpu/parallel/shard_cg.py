@@ -236,6 +236,90 @@ def cg_sharded_pallas(
               op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
 
 
+def cg_sharded_cgs(
+    mesh: Mesh,
+    axis_name: str,
+    x0, b_residual, op, gm, mask, masks,
+    *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
+):
+    """Chronopoulos-Gear single-reduction CG over row-band shards.
+
+    Same contract as :func:`cg_sharded`, but the two data-dependent psums
+    of standard CG (<p,Mp> must complete before the axpy that produces
+    <r,r>) collapse into ONE fused psum of the (gamma, delta) pair per
+    iteration — the latency win the CGS recurrence exists for at
+    multi-chip scale. Per iteration: 1 two-row halo exchange of r
+    (2 ppermutes) + 1 psum of a length-2 vector. Opt-in
+    (``pallas_cg_variant='cgs'``): the alpha recurrence reorders rounding
+    vs standard CG.
+    """
+    tol_sq = jnp.float32(tol) ** 2
+
+    def body_fn(x0_l, b_l, P11, P12, P13, P22, P23, P33,
+                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
+        F = jnp.stack([P11, P12, P13, P22, P23, P33,
+                       fwd_x, bwd_x, fwd_y, bwd_y])
+        Fm = jnp.moveaxis(F, 0, 1)
+        topF, botF = _halo_rows(Fm.reshape(Fm.shape[0], -1), 1, axis_name)
+        Fm_ext = jnp.concatenate(
+            [topF.reshape(1, *Fm.shape[1:]), Fm,
+             botF.reshape(1, *Fm.shape[1:])], 0)
+        F_ext = jnp.moveaxis(Fm_ext, 1, 0)
+        names = ["P11", "P12", "P13", "P22", "P23", "P33",
+                 "fwd_x", "bwd_x", "fwd_y", "bwd_y"]
+        Fx = {k: F_ext[i] for i, k in enumerate(names)}
+
+        mv = functools.partial(
+            matvec_band, Fx=Fx, axis_name=axis_name, sf=sf, lam=lam,
+            masks_local=masks_l, mask_local=mask_l)
+
+        def gd(r, w):
+            # ONE fused collective for both CG scalars.
+            return lax.psum(
+                jnp.stack([jnp.vdot(r, r), jnp.vdot(w, r)]), axis_name)
+
+        r = b_l
+        w = mv(r)
+        gamma_delta = gd(r, w)
+
+        def cond(c):
+            x, r, w, p, s, g_old, a_old, gdv, k = c
+            return (gdv[0] > tol_sq) & (k <= max_iter)
+
+        def body(c):
+            x, r, w, p, s, g_old, a_old, gdv, k = c
+            gamma, delta = gdv[0], gdv[1]
+            k = k + 1
+            beta = jnp.where(k == 1, 0.0,
+                             gamma / jnp.where(g_old == 0.0, 1.0, g_old))
+            denom = delta - beta * gamma / a_old
+            alpha = gamma / jnp.where(denom == 0.0, 1.0, denom)
+            p = r + beta * p
+            s = w + beta * s
+            x = x + alpha * p
+            r = r - alpha * s
+            w = mv(r)
+            return x, r, w, p, s, gamma, alpha, gd(r, w), k
+
+        x, r, w, p, s, _, _, gdv, k = lax.while_loop(
+            cond, body,
+            (x0_l, r, w, jnp.zeros_like(r), jnp.zeros_like(r),
+             jnp.float32(1.0), jnp.float32(1.0), gamma_delta, jnp.int32(0)))
+        return x, k, gdv[0]
+
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(axis_name, None)
+    fn = shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(spec,) * 14,
+        out_specs=(spec, P(), P()),
+        check_rep=False,
+    )
+    return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
+              op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
+
+
 def cg_sharded(
     mesh: Mesh,
     axis_name: str,

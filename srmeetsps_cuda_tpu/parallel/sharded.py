@@ -165,8 +165,14 @@ def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
     n = mesh.shape[axis]
     use_pallas = (cfg.use_pallas and not cfg.jacobi_preconditioner
                   and shard_cg.shard_cg_pallas_supported(h, w, sf, n))
-    cg_fn = (shard_cg.cg_sharded_pallas if use_pallas
-             else shard_cg.cg_sharded)
+    if cfg.pallas_cg_variant == "cgs":
+        # Single-reduction CG: one fused psum pair per iteration instead
+        # of two serialized psums — the latency win at multi-chip scale.
+        cg_fn = shard_cg.cg_sharded_cgs
+    elif use_pallas:
+        cg_fn = shard_cg.cg_sharded_pallas
+    else:
+        cg_fn = shard_cg.cg_sharded
     x, k, _ = cg_fn(mesh, axis, z, b_res, op, prob.gm, prob.mask,
                     prob.masks, sf=sf, lam=lam, tol=cfg.cg_tol,
                     max_iter=cfg.cg_max_iter)

@@ -92,6 +92,63 @@ class TestShardCG:
         assert np.sqrt(np.mean(d**2)) / rms < 5e-2
 
 
+class TestShardCGSingleReduction:
+    def test_cgs_matches_standard(self, rng):
+        """Chronopoulos-Gear sharded CG (one fused psum pair per iteration)
+        vs the standard two-psum sharded CG: same iteration count, same
+        progress, bounded iterate drift (the alpha recurrence reorders
+        rounding)."""
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        r0 = float(jnp.vdot(b_res, b_res))
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x_s, k_s, r_s = shard_cg.cg_sharded(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        x_c, k_c, r_c = shard_cg.cg_sharded_cgs(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        assert abs(int(k_s) - int(k_c)) <= 2
+        assert float(r_c) <= 0.2 * r0
+        ratio = float(r_c) / float(r_s)
+        assert 0.1 < ratio < 10.0
+        # At-cap iterate is not an invariant on this unconverged
+        # ill-conditioned system (see test_pallas_cg's calibration);
+        # correctness is the exact 2-iteration test below — here only
+        # bound the ballpark.
+        d = np.asarray(x_c) - np.asarray(x_s)
+        rms = np.sqrt(np.mean(np.asarray(x_s) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1
+
+    def test_cgs_exact_at_short_horizon(self, rng):
+        """At 2 iterations the CGS recurrence is algebraically identical to
+        standard CG — parity is tight before rounding drift compounds."""
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x_s, _, _ = shard_cg.cg_sharded(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=2)
+        x_c, _, _ = shard_cg.cg_sharded_cgs(
+            mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=2)
+        np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_s),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestShardCGPallas:
     def test_matches_single_device(self, rng, monkeypatch):
         """Per-shard Pallas band kernels inside shard_map (interpret mode)
