@@ -163,6 +163,13 @@ def _solve_inner(data, cfg, rt, verbose):
 
     metrics = []
 
+    if rt.save_visualizations:
+        # Reference parity: the initialization-time normals are kept and
+        # shown alongside every iteration ("Normals-Initial",
+        # SRPS.cu:270,321) — dump them once up front.
+        writers.save_visualizations(rt.dump_dir, state,
+                                    np.asarray(prob.mask), tag="_init")
+
     if rt.fused_outer_loop:
         t = Timer().start()
         final, trace = _jit_solve_fused(state, prob, sf, cfg)
