@@ -295,3 +295,11 @@ def dryrun(n_devices: int, batch: Optional[int] = None) -> None:
         partial(solve_fused_sharded, sf=sf, cfg=cfg, mesh=mesh1))(st1, pb1)
     jax.block_until_ready(st1_out)
     assert np.isfinite(float(st1_out.energy)), "non-finite sharded-1d energy"
+
+    # And the single-reduction (Chronopoulos-Gear) sharded CG variant —
+    # one fused psum pair per iteration.
+    cfg_cgs = SolverConfig(max_iterations=2, pallas_cg_variant="cgs")
+    st2_out, _ = jax.jit(
+        partial(solve_fused_sharded, sf=sf, cfg=cfg_cgs, mesh=mesh1))(st1, pb1)
+    jax.block_until_ready(st2_out)
+    assert np.isfinite(float(st2_out.energy)), "non-finite cgs-sharded energy"
