@@ -66,13 +66,27 @@ def _read_k_file(path: str):
     return K, int(float(sf_s)), float(min_z_s), float(max_z_s)
 
 
+def _decode_many(files):
+    """Decode a list of PNGs in parallel.
+
+    The native libpng decoder runs through ctypes, which releases the GIL,
+    so a thread pool gives real decode parallelism (the reference decodes
+    its n frames sequentially through cv::imread, Utilities.cpp:330-352);
+    PIL's decoder also drops the GIL for the compress-heavy part."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(files) <= 1:
+        return [_decode_png(f) for f in files]
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+        return list(ex.map(_decode_png, files))
+
+
 def load_image_dataset(folder: str) -> ProblemData:
     rgb_files = sorted(glob.glob(os.path.join(folder, "RGB", "*")))
     if not rgb_files:
         raise FileNotFoundError(f"no RGB images under {folder}/RGB")
     imgs = []
-    for f in rgb_files:
-        a = _decode_png(f)
+    for a in _decode_many(rgb_files):
         if a.ndim == 2:
             a = np.stack([a] * 3, axis=-1)
         imgs.append(a[..., :3].astype(np.float32) / 255.0)
@@ -88,9 +102,8 @@ def load_image_dataset(folder: str) -> ProblemData:
 
     depth_files = sorted(glob.glob(os.path.join(folder, "Depth", "*")))
     z0 = []
-    for f in depth_files:
-        a = _decode_png(f).astype(np.float32)
-        z0.append(min_z + (a / 65535.0) * (max_z - min_z))
+    for a in _decode_many(depth_files):
+        z0.append(min_z + (a.astype(np.float32) / 65535.0) * (max_z - min_z))
     z0 = np.stack(z0)
 
     h, w = mask.shape
