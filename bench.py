@@ -153,6 +153,15 @@ def bench_1080p():
     _timed_solve(data, SolverConfig(use_pallas=True), "1080p_sf2_e2e_solve")
 
 
+def bench_4k():
+    """4K-class grid on ONE chip — runs the pipelined kernel at th=64
+    since the scoped-VMEM fix. Invoke with `python bench.py 4k`."""
+    from srmeetsps_cuda_tpu.config import SolverConfig
+
+    data = synthetic_dataset(h=2176, w=3840, sf=2, n=8)
+    _timed_solve(data, SolverConfig(use_pallas=True), "4k_sf2_e2e_solve")
+
+
 def device_metrics(prob, state, sf, cfg):
     """Dispatch-free device-side metrics via chained-call differencing.
 
@@ -307,5 +316,7 @@ if __name__ == "__main__":
         bench_sf4()
     elif mode == "1080p":
         bench_1080p()
+    elif mode == "4k":
+        bench_4k()
     else:
         main()

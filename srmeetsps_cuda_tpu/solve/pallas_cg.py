@@ -255,8 +255,10 @@ def _vmem_rows_per_width(th: int, pipelined: bool) -> int:
     """f32 VMEM rows per unit of padded width a band consumes."""
     tb = th + 2 * RING
     if pipelined:
-        # 2 slots of (r, p, 8 packed F rows, w) — pallas_cg_pipe layout.
-        return 2 * (10 * tb + th)
+        # The fromop iteration-0 prologue is the largest scoped block:
+        # 2 slots of (x, 8 packed F rows, 4 R0 rows) at TB plus the r
+        # output at TH — bigger than phase 0's 2*(10*TB + TH).
+        return 2 * (13 * tb + th)
     # single-buffer: r, p, 11 unpacked F rows, w.
     return 13 * tb + th
 

@@ -267,7 +267,7 @@ class TestAdaptiveBandHeight:
         # the binding constraint before, not physical VMEM (128 MB).
         assert pallas_cg.pick_th(960, 1280, pipelined=True) == 64
         assert pallas_cg.pick_th(1088, 1920, pipelined=True) == 64
-        assert pallas_cg.pick_th(2176, 3840, pipelined=True) == 64
+        assert pallas_cg.pick_th(2176, 3840, pipelined=True) == 32
         assert pallas_cg.pick_th(4352, 7680, pipelined=True) == 16
         # single-buffer variants fit wider at the same th
         assert pallas_cg.pick_th(1088, 1920, pipelined=False) == 64
