@@ -94,6 +94,10 @@ def save_checkpoint(path: str, state, iteration: int):
 
 
 def load_checkpoint(path: str):
+    """Accepts either the checkpoint file or a dump directory holding
+    ``checkpoint.npz``."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "checkpoint.npz")
     d = np.load(path)
     return {k: d[k] for k in d.files}
 

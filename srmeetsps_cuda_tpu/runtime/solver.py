@@ -14,6 +14,7 @@ execution modes:
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -252,6 +253,9 @@ def _solve_inner(data, cfg, rt, verbose):
 
 def _write_outputs(state, prob, rt: RuntimeConfig, metrics):
     if rt.metrics_jsonl:
+        parent = os.path.dirname(rt.metrics_jsonl)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(rt.metrics_jsonl, "w") as f:
             for rec in metrics:
                 f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,137 @@
+"""End-to-end CLI tests: both dataset types through the real entry point.
+
+The reference binary's surface is `srmeetsps --dstype matlab|images
+--dsloc <path>` (Main.cpp:9-44); these tests drive our `cli.main`
+in-process on tiny synthesized datasets and check the full pipeline
+(load -> preprocess -> solve -> dumps/metrics) runs and emits healthy
+outputs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_mask
+from srmeetsps_cuda_tpu import cli
+
+
+def _synth_arrays(rng, h=24, w=16, sf=2, n=3, c=3):
+    mask = random_mask(rng, h, w)
+    yy, xx = np.mgrid[0:h, 0:w]
+    z_true = (60 + 4 * np.sin(xx / 3.0) + 3 * np.cos(yy / 4.0)).astype(
+        np.float32)
+    I = np.empty((n, c, h, w), np.float32)
+    for i in range(n):
+        light = rng.standard_normal(3) * 0.2 + np.array([0.1, 0.1, 0.8])
+        shade = (light[0] * np.sin(xx / 3.0) + light[1] * np.cos(yy / 4.0)
+                 + light[2])
+        for ch in range(c):
+            I[i, ch] = np.clip(0.25 * (ch + 1) * shade, 0, 1)
+    z0 = np.stack([z_true[::sf, ::sf]
+                   + 0.05 * rng.standard_normal((h // sf, w // sf))
+                   for _ in range(n)]).astype(np.float32)
+    K = np.array([[200.0, 0, w / 2 - 0.5], [0, 200.0, h / 2 - 0.5],
+                  [0, 0, 1]], np.float32)
+    return I, mask, K, z0, sf
+
+
+def _write_mat(path, I, mask, K, z0, sf):
+    import scipy.io as sio
+
+    # MATLAB conventions: I (h, w, c, n), z0 (h/sf, w/sf, m), mask uint8.
+    sio.savemat(path, {
+        "I": np.moveaxis(I, (0, 1, 2, 3), (3, 2, 0, 1)).astype(np.float64),
+        "K": K.astype(np.float64),
+        "mask": (mask != 0).astype(np.uint8),
+        "sf": float(sf),
+        "z0": np.moveaxis(z0, 0, -1).astype(np.float64),
+    })
+
+
+def _write_images(folder, I, mask, K, z0, sf):
+    from PIL import Image
+
+    os.makedirs(os.path.join(folder, "RGB"))
+    os.makedirs(os.path.join(folder, "Depth"))
+    min_z, max_z = 0.0, float(z0.max() * 1.5)
+    for i in range(I.shape[0]):
+        rgb = (np.moveaxis(I[i], 0, -1) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(folder, "RGB", f"{i:02d}.png"))
+        d16 = ((z0[i] - min_z) / (max_z - min_z) * 65535).astype(np.uint16)
+        Image.fromarray(d16).save(
+            os.path.join(folder, "Depth", f"{i:02d}.png"))
+    Image.fromarray((mask * 255).astype(np.uint8)).save(
+        os.path.join(folder, "mask.png"))
+    with open(os.path.join(folder, "K.txt"), "w") as f:
+        for r in range(3):
+            f.write(",".join(str(float(v)) for v in K[r]) + "\n")
+        f.write(f"{sf},{min_z},{max_z}\n")
+
+
+def _run_and_check(args, out_dir):
+    rc = cli.main(args)
+    assert rc == 0
+    d = np.load(os.path.join(out_dir, "state_final.npz"))
+    assert np.all(np.isfinite(d["z"]))
+    assert np.all(np.isfinite(d["rho"]))
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(out_dir, "metrics.jsonl"))]
+    es = [ln["energy"] for ln in lines if "energy" in ln]
+    assert len(es) >= 1 and all(np.isfinite(es))
+    return es
+
+
+def test_cli_matlab_dataset(rng, tmp_path):
+    I, mask, K, z0, sf = _synth_arrays(rng)
+    mat = str(tmp_path / "ds.mat")
+    _write_mat(mat, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    es = _run_and_check(
+        ["--dstype", "matlab", "--dsloc", mat, "--max-iterations", "2",
+         "--cg-max-iter", "20", "--dump", "--dump-dir", out,
+         "--dump-format", "npz",
+         "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
+    assert es[-1] <= es[0] * 1.5  # sane trajectory on a tiny fixture
+
+
+def test_cli_images_dataset(rng, tmp_path):
+    I, mask, K, z0, sf = _synth_arrays(rng)
+    folder = str(tmp_path / "ds")
+    os.makedirs(folder)
+    _write_images(folder, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    _run_and_check(
+        ["--dstype", "images", "--dsloc", folder, "--max-iterations", "2",
+         "--cg-max-iter", "20", "--fused", "--dump", "--dump-dir", out,
+         "--dump-format", "npz",
+         "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
+
+
+def test_cli_help_exit_zero(capsys):
+    assert cli.main([]) == 0
+    assert "dstype" in capsys.readouterr().out
+
+
+def test_cli_resume_roundtrip(rng, tmp_path):
+    """--resume-from continues the iteration count (reference is
+    write-only; resume is a framework extension)."""
+    I, mask, K, z0, sf = _synth_arrays(rng)
+    folder = str(tmp_path / "ds")
+    os.makedirs(folder)
+    _write_images(folder, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    cli.main(["--dstype", "images", "--dsloc", folder,
+              "--max-iterations", "2", "--cg-max-iter", "10",
+              "--dump", "--dump-dir", out, "--dump-format", "npz"])
+    ck = np.load(os.path.join(out, "checkpoint.npz"))
+    it0 = int(ck["iteration"])
+    assert it0 >= 1
+    out2 = str(tmp_path / "out2")
+    cli.main(["--dstype", "images", "--dsloc", folder,
+              "--max-iterations", "4", "--cg-max-iter", "10",
+              "--resume-from", out, "--dump", "--dump-dir", out2,
+              "--dump-format", "npz"])
+    ck2 = np.load(os.path.join(out2, "checkpoint.npz"))
+    assert int(ck2["iteration"]) > it0
