@@ -27,7 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # Reference-parity flags (Main.cpp:10-17).
     p.add_argument("--dstype", "-t", choices=["matlab", "images"], default="matlab")
-    p.add_argument("--dsloc", "-d", help="path to dataset mat file or image folder")
+    p.add_argument("--dsloc", "-d",
+                   help="path to dataset mat file or image folder; a "
+                        "comma-separated list runs a lockstep BATCHED "
+                        "multi-object solve (one lane-batched depth-CG "
+                        "launch per outer iteration)")
     p.add_argument("--device", "-g", type=int, default=0,
                    help="device index (parity flag)")
     p.add_argument("--blockx", "-x", type=int, default=256,
@@ -92,14 +96,21 @@ def main(argv=None) -> int:
     if 0 <= args.device < len(devs):
         jax.config.update("jax_default_device", devs[args.device])
 
-    if args.dstype == "matlab":
-        from .io.mat_loader import load_mat_dataset
+    def _load(loc):
+        if args.dstype == "matlab":
+            from .io.mat_loader import load_mat_dataset
 
-        data = load_mat_dataset(args.dsloc)
-    else:
+            return load_mat_dataset(loc)
         from .io.image_loader import load_image_dataset
 
-        data = load_image_dataset(args.dsloc)
+        return load_image_dataset(loc)
+
+    # Comma-separated --dsloc = batched multi-object serving: all objects
+    # solve in lockstep, the depth CG of all lanes as ONE lane-batched
+    # Pallas launch per outer iteration (parallel/batched.py).
+    locs = [s for s in args.dsloc.split(",") if s]
+    datas = [_load(loc) for loc in locs]
+    data = datas[0]
 
     cfg = SolverConfig(
         tolerance=args.tolerance,
@@ -125,7 +136,9 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir,
     )
 
-    if args.sharded:
+    if len(datas) > 1:
+        _run_batched(datas, locs, cfg, rt)
+    elif args.sharded:
         _run_sharded(data, cfg, args.sharded)
     else:
         from .runtime.solver import solve
@@ -133,6 +146,51 @@ def main(argv=None) -> int:
         solve(data, cfg, rt, verbose=True)
     print("Done!")
     return 0
+
+
+def _run_batched(datas, locs, cfg, rt):
+    """Lockstep batched solve of several datasets (one per --dsloc entry,
+    comma-separated); outputs land in per-object subdirectories."""
+    import os
+
+    import numpy as np
+
+    from .io import writers
+    from .models import srps
+    from .parallel import batched
+    from .runtime.solver import prepare
+
+    sfs = {int(d.sf) for d in datas}
+    shapes = {d.mask.shape for d in datas}
+    if len(sfs) != 1 or len(shapes) != 1:
+        raise SystemExit(
+            f"batched solve needs matching geometry: sf={sorted(sfs)}, "
+            f"shapes={sorted(shapes)}")
+    sf = sfs.pop()
+    probs, states = [], []
+    for d in datas:
+        pb, st = prepare(d, cfg)
+        probs.append(pb)
+        states.append(st)
+    prob_b = batched.stack_problems(probs)
+    state_b = batched.stack_states(states)
+    final, trace = batched.solve_batched(state_b, prob_b, sf, cfg)
+    trace = np.asarray(trace)
+    for b, loc in enumerate(locs):
+        name = os.path.basename(os.path.normpath(loc)) or f"obj{b}"
+        n_it = int(np.isfinite(trace[b]).sum())
+        print(f"[{name}] {n_it} iterations, final energy "
+              f"{float(np.nanmin(trace[b])):.3f}")
+        if rt.dump_iterations or rt.save_visualizations:
+            sub = os.path.join(rt.dump_dir, name)
+            os.makedirs(sub, exist_ok=True)
+            st_b = srps.SRPSState(*[np.asarray(x)[b] for x in final])
+            mask = np.asarray(probs[b].mask)
+            if rt.dump_iterations:
+                writers.dump_state(sub, st_b, mask, fmt=rt.dump_format,
+                                   tag="_final")
+            if rt.save_visualizations:
+                writers.save_visualizations(sub, st_b, mask, tag="_final")
 
 
 def _run_sharded(data, cfg, n_devices: int):

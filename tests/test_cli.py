@@ -109,6 +109,26 @@ def test_cli_images_dataset(rng, tmp_path):
          "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
 
 
+def test_cli_batched_multi_dataset(rng, tmp_path):
+    """Comma-separated --dsloc solves several objects in lockstep and
+    writes per-object output subdirectories."""
+    locs = []
+    for b in range(2):
+        I, mask, K, z0, sf = _synth_arrays(np.random.default_rng(b))
+        folder = str(tmp_path / f"obj{b}")
+        os.makedirs(folder)
+        _write_images(folder, I, mask, K, z0, sf)
+        locs.append(folder)
+    out = str(tmp_path / "out")
+    rc = cli.main(["--dstype", "images", "--dsloc", ",".join(locs),
+                   "--max-iterations", "2", "--cg-max-iter", "15",
+                   "--dump", "--dump-dir", out, "--dump-format", "npz"])
+    assert rc == 0
+    for b in range(2):
+        d = np.load(os.path.join(out, f"obj{b}", "state_final.npz"))
+        assert np.all(np.isfinite(d["z"]))
+
+
 def test_cli_help_exit_zero(capsys):
     assert cli.main([]) == 0
     assert "dstype" in capsys.readouterr().out
