@@ -426,12 +426,10 @@ def estimate_depth(
     # running a different solver trajectory.
     if (cfg.use_pallas and not cfg.jacobi_preconditioner
             and _pcg.supported(h, w, sf, pipelined=False)):
-        from ..solve.pallas_cg import cg_pallas, make_ktw
-        from ..solve.pallas_cg_fused import cg_pallas_fused
-        from ..solve.pallas_cg_pipe import (cg_pallas_pipelined,
-                                            cg_pallas_pipelined_fromop)
-
         from ..solve import pallas_cg_cgs as _cgs
+        from ..solve.pallas_cg import cg_pallas
+        from ..solve.pallas_cg_fused import cg_pallas_fused
+        from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop
 
         # ktw / z0t are precomputed problem fields: XLA's while-loop LICM
         # does not hoist their upsample relayouts, so recomputing them here

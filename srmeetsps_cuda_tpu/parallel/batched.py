@@ -37,6 +37,7 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     unsupported on TPU; everything else vmaps as plain jnp)."""
     from ..ops import gradients as gradops
     from ..ops.normals import normals_from_depth
+    from ..solve import pallas_cg_cgs as _cgs
     from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop_batched
 
     lam = cfg.lam
@@ -48,7 +49,11 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     # In-kernel r0 prologue: no host-side rhs/matvec passes, and the
     # precomputed probs.ktw / probs.z0t fields avoid the per-iteration
     # upsample relayouts (same as the single-problem path).
-    x, cg_iters, _ = cg_pallas_pipelined_fromop_batched(
+    h, w = states.z.shape[-2:]
+    cg_fn = cg_pallas_pipelined_fromop_batched
+    if (cfg.pallas_cg_variant == "cgs" and _cgs.supported_cgs(h, w, sf)):
+        cg_fn = _cgs.cg_pallas_cgs_batched
+    x, cg_iters, _ = cg_fn(
         states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
         tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
     z = x * probs.mask

@@ -84,19 +84,6 @@ def _matvec_band(v, f, lam: float, sf: int, th: int):
     return ktt + lam * (dxt + dyt - t3)[RING:RING + th, :]
 
 
-def _rhs_band(q, f, lam: float, th: int):
-    """rhs = z0t + lam (Dx' QB1 + Dy' QB2 - QB3) on the interior rows."""
-    fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
-    q1 = fwd_x * q[0]
-    q1b = bwd_x * q[0]
-    dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
-    q2 = fwd_y * q[1]
-    q2b = bwd_y * q[1]
-    dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
-    return (q[3, RING:RING + th, :]
-            + lam * (dxq + dyq - q[2])[RING:RING + th, :])
-
-
 def _kernel(consts_ref, T_hbm, F_hbm, R0_hbm, T_out, iters_ref, r1_ref,
             scal, *, lam: float, sf: int, n_bands: int, th: int):
     TH = th

@@ -180,6 +180,32 @@ class TestChronopoulosGearCG:
             rms = max(float(np.sqrt(np.mean(np.asarray(x_s) ** 2))), 1e-12)
             assert float(np.sqrt(np.mean(d ** 2))) / rms < rtol
 
+    def test_batched_cgs_matches_per_lane(self, rng):
+        """Lane-batched CGS == per-lane single CGS solves."""
+        import jax
+        from srmeetsps_cuda_tpu.ops import grid as gridops
+        from srmeetsps_cuda_tpu.solve.pallas_cg_cgs import (
+            cg_pallas_cgs, cg_pallas_cgs_batched)
+
+        sf = 2
+        lanes = []
+        for b in range(2):
+            prob, st, mom, op = _problem(np.random.default_rng(b), 32, 32, sf)
+            ktw = prob.ktw
+            z0t = prob.z0t
+            lanes.append((st.z, op, prob.gm, ktw, z0t))
+        stack = lambda i: jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *[ln[i] for ln in lanes])
+        xb, kb, rb = cg_pallas_cgs_batched(
+            stack(0), stack(1), stack(2), stack(3), stack(4),
+            sf=sf, lam=1.0, tol=1e-4, max_iter=10)
+        for b in range(2):
+            x1, k1, r1 = cg_pallas_cgs(
+                *lanes[b], sf=sf, lam=1.0, tol=1e-4, max_iter=10)
+            assert int(kb[b]) == int(k1)
+            np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(x1),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_solver_config_routes_cgs(self, rng):
         """estimate_depth honours pallas_cg_variant='cgs' and tracks the
         standard path at the energy level."""
