@@ -301,7 +301,17 @@ def main():
         "device": str(jax.devices()[0]),
         "dataset": ds or "synthetic",
     }
-    result.update(device_metrics(prob, state0, sf, cfg))
+    # The device metrics compile the Pallas kernel directly — gate on the
+    # same support check estimate_depth uses and never let a failure here
+    # eat the one JSON line the driver reads.
+    try:
+        from srmeetsps_cuda_tpu.solve import pallas_cg as _pcg
+
+        h, w = np.asarray(prob.mask).shape
+        if _pcg.supported(h, w, sf, pipelined=True):
+            result.update(device_metrics(prob, state0, sf, cfg))
+    except Exception as e:  # pragma: no cover - defensive
+        result["device_metrics_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

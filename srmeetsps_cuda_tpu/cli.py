@@ -139,7 +139,7 @@ def main(argv=None) -> int:
     if len(datas) > 1:
         _run_batched(datas, locs, cfg, rt)
     elif args.sharded:
-        _run_sharded(data, cfg, args.sharded)
+        _run_sharded(data, cfg, args.sharded, rt)
     else:
         from .runtime.solver import solve
 
@@ -176,11 +176,15 @@ def _run_batched(datas, locs, cfg, rt):
     state_b = batched.stack_states(states)
     final, trace = batched.solve_batched(state_b, prob_b, sf, cfg)
     trace = np.asarray(trace)
+    final_energies = np.asarray(final.energy)
     for b, loc in enumerate(locs):
         name = os.path.basename(os.path.normpath(loc)) or f"obj{b}"
         n_it = int(np.isfinite(trace[b]).sum())
+        # Report the energy of the state actually written (the last
+        # iterate), not the trajectory minimum — the stopping rule allows
+        # a final energy increase (reference semantics).
         print(f"[{name}] {n_it} iterations, final energy "
-              f"{float(np.nanmin(trace[b])):.3f}")
+              f"{float(final_energies[b]):.3f}")
         if rt.dump_iterations or rt.save_visualizations:
             sub = os.path.join(rt.dump_dir, name)
             os.makedirs(sub, exist_ok=True)
@@ -193,13 +197,15 @@ def _run_batched(datas, locs, cfg, rt):
                 writers.save_visualizations(sub, st_b, mask, tag="_final")
 
 
-def _run_sharded(data, cfg, n_devices: int):
+def _run_sharded(data, cfg, n_devices: int, rt=None):
     """Grid-sharded fused solve over a 1D row-band mesh."""
+    import os
     from functools import partial
 
     import jax
     import numpy as np
 
+    from .io import writers
     from .parallel.sharded import (make_mesh_1d, shard_pytree_rows,
                                    solve_fused_sharded)
     from .runtime.solver import Timer, prepare
@@ -208,22 +214,34 @@ def _run_sharded(data, cfg, n_devices: int):
     mesh = make_mesh_1d(n_devices)
     prob, state = prepare(data, cfg)
     h = prob.mask.shape[0]
-    if h % n_devices:
+    sf = int(data.sf)
+    # Both the HR leaves (h rows) and the LR-grid leaves (h/sf rows:
+    # masks, z0s) are row-sharded.
+    if h % n_devices or (h // sf) % n_devices:
         raise SystemExit(
-            f"--sharded: image height {h} not divisible by {n_devices}")
+            f"--sharded: image height {h} and LR height {h // sf} must "
+            f"both be divisible by {n_devices}")
     prob = shard_pytree_rows(prob, mesh)
     state = shard_pytree_rows(state, mesh)
     t = Timer().start()
     final, trace = jax.jit(partial(
-        solve_fused_sharded, sf=int(data.sf), cfg=cfg, mesh=mesh))(
+        solve_fused_sharded, sf=sf, cfg=cfg, mesh=mesh))(
             state, prob)
     dt = t.end(final.z)
     trace = np.asarray(trace)
     n_it = int(final.iteration)
+    metrics = []
     for i in range(n_it):
         print(f"Iteration {i + 1:02d}  Error: {float(trace[i]):.3f}")
+        metrics.append({"iteration": i + 1, "energy": float(trace[i])})
+    metrics.append({"total_seconds": dt, "iterations": n_it,
+                    "devices": n_devices})
     print(f"sharded solve ({n_devices} devices): {n_it} iterations "
           f"in {dt:.3f}s, final energy {float(final.energy):.3f}")
+    if rt is not None:
+        from .runtime.solver import _write_outputs
+
+        _write_outputs(final, prob, rt, metrics)
 
 
 if __name__ == "__main__":

@@ -141,11 +141,9 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
     SI2 = jnp.einsum(
         "cnhw->chw", (I * I).astype(jnp.float32))
     z0s = jnp.asarray(z0s, jnp.float32) * masks
-    c_ = I.shape[0]
-    n_ = I.shape[1]
-    hl, wl = masks.shape
-    up = jnp.broadcast_to(masks[:, None, :, None], (hl, sf, wl, sf)
-                          ).reshape(hl * sf, wl * sf)
+    c_, n_ = I.shape[:2]
+    from ..solve.pallas_cg import make_ktw
+
     return SRPSProblem(
         I=I.reshape(c_, n_, h * w),
         mask=mask,
@@ -158,7 +156,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
         gm=GradientMasks.from_mask(mask),
         SI2=SI2,
         z0t=gridops.resample_masked_t(z0s, mask, masks, sf),
-        ktw=mask * up / float(sf ** 4),
+        ktw=make_ktw(mask, masks, sf),
     )
 
 

@@ -64,6 +64,26 @@ def _grad_x_t_rows(y, fwd_x, bwd_x):
     return fy_r - fy + by - by_l
 
 
+_FIELD_NAMES = ("P11", "P12", "P13", "P22", "P23", "P33",
+                "fwd_x", "bwd_x", "fwd_y", "bwd_y")
+
+
+def _extend_fields(P11, P12, P13, P22, P23, P33, fwd_x, bwd_x, fwd_y, bwd_y,
+                   axis_name: str):
+    """One-time static-field halo extension: stack the 10 coefficient
+    fields so a SINGLE ppermute pair fetches every field's 1-row halo,
+    then return a name->(h_b+2, w) dict for :func:`matvec_band`."""
+    F = jnp.stack([P11, P12, P13, P22, P23, P33,
+                   fwd_x, bwd_x, fwd_y, bwd_y])
+    Fm = jnp.moveaxis(F, 0, 1)  # (h_b, 10, w): rows leading for halos
+    topF, botF = _halo_rows(Fm.reshape(Fm.shape[0], -1), 1, axis_name)
+    Fm_ext = jnp.concatenate(
+        [topF.reshape(1, *Fm.shape[1:]), Fm,
+         botF.reshape(1, *Fm.shape[1:])], 0)
+    F_ext = jnp.moveaxis(Fm_ext, 1, 0)  # (10, h_b+2, w)
+    return {k: F_ext[i] for i, k in enumerate(_FIELD_NAMES)}
+
+
 def matvec_band(v, Fx, axis_name: str, sf: int, lam: float,
                 masks_local, mask_local):
     """M v on one row band. Fx: dict of 1-row-extended fields (rows -1..h).
@@ -161,21 +181,12 @@ def cg_sharded_pallas(
                 fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
         ktw_l = _pcg.make_ktw(mask_l, masks_l, sf)
 
-        class _Op:  # field container matching stack_fields' expectations
-            pass
+        from types import SimpleNamespace
 
-        op_l = _Op()
-        for k, v in zip(("P11", "P12", "P13", "P22", "P23", "P33"),
-                        (P11, P12, P13, P22, P23, P33)):
-            setattr(op_l, k, v)
-
-        class _Gm:
-            pass
-
-        gm_l = _Gm()
-        for k, v in zip(("fwd_x", "bwd_x", "fwd_y", "bwd_y"),
-                        (fwd_x, bwd_x, fwd_y, bwd_y)):
-            setattr(gm_l, k, v)
+        op_l = SimpleNamespace(P11=P11, P12=P12, P13=P13, P22=P22,
+                               P23=P23, P33=P33)
+        gm_l = SimpleNamespace(fwd_x=fwd_x, bwd_x=bwd_x,
+                               fwd_y=fwd_y, bwd_y=bwd_y)
 
         # Static fields: pad + one-time 1-row halo refresh (stacked, so one
         # ppermute pair covers all 11 fields).
@@ -257,17 +268,8 @@ def cg_sharded_cgs(
 
     def body_fn(x0_l, b_l, P11, P12, P13, P22, P23, P33,
                 fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
-        F = jnp.stack([P11, P12, P13, P22, P23, P33,
-                       fwd_x, bwd_x, fwd_y, bwd_y])
-        Fm = jnp.moveaxis(F, 0, 1)
-        topF, botF = _halo_rows(Fm.reshape(Fm.shape[0], -1), 1, axis_name)
-        Fm_ext = jnp.concatenate(
-            [topF.reshape(1, *Fm.shape[1:]), Fm,
-             botF.reshape(1, *Fm.shape[1:])], 0)
-        F_ext = jnp.moveaxis(Fm_ext, 1, 0)
-        names = ["P11", "P12", "P13", "P22", "P23", "P33",
-                 "fwd_x", "bwd_x", "fwd_y", "bwd_y"]
-        Fx = {k: F_ext[i] for i, k in enumerate(names)}
+        Fx = _extend_fields(P11, P12, P13, P22, P23, P33,
+                            fwd_x, bwd_x, fwd_y, bwd_y, axis_name)
 
         mv = functools.partial(
             matvec_band, Fx=Fx, axis_name=axis_name, sf=sf, lam=lam,
@@ -335,20 +337,8 @@ def cg_sharded(
 
     def body_fn(x0_l, b_l, P11, P12, P13, P22, P23, P33,
                 fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
-        # One-time: extend every static field by a 1-row halo (stacked =>
-        # one ppermute pair for all 10 fields).
-        F = jnp.stack([P11, P12, P13, P22, P23, P33,
-                       fwd_x, bwd_x, fwd_y, bwd_y])
-        Fm = jnp.moveaxis(F, 0, 1)  # (h_b, 10, w) rows leading for halos
-        topF, botF = _halo_rows(
-            Fm.reshape(Fm.shape[0], -1), 1, axis_name)
-        Fm_ext = jnp.concatenate(
-            [topF.reshape(1, *Fm.shape[1:]), Fm,
-             botF.reshape(1, *Fm.shape[1:])], 0)
-        F_ext = jnp.moveaxis(Fm_ext, 1, 0)  # (10, h_b+2, w)
-        names = ["P11", "P12", "P13", "P22", "P23", "P33",
-                 "fwd_x", "bwd_x", "fwd_y", "bwd_y"]
-        Fx = {k: F_ext[i] for i, k in enumerate(names)}
+        Fx = _extend_fields(P11, P12, P13, P22, P23, P33,
+                            fwd_x, bwd_x, fwd_y, bwd_y, axis_name)
 
         pdot = lambda a, b: lax.psum(jnp.vdot(a, b), axis_name)
         mv = functools.partial(

@@ -163,11 +163,27 @@ def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
     b_res = rhs - srps.depth_matvec(z, op, prob, sf, lam)
     h, w = z.shape
     n = mesh.shape[axis]
-    use_pallas = (cfg.use_pallas and not cfg.jacobi_preconditioner
+    if cfg.jacobi_preconditioner:
+        # No preconditioned sharded CG exists; running plain CG instead
+        # would be a silently different solver trajectory (same rule as
+        # estimate_depth's Pallas gate).
+        raise ValueError(
+            "jacobi_preconditioner is not supported on the sharded path; "
+            "drop --jacobi or run single-device")
+    use_pallas = (cfg.use_pallas
                   and shard_cg.shard_cg_pallas_supported(h, w, sf, n))
     if cfg.pallas_cg_variant == "cgs":
         # Single-reduction CG: one fused psum pair per iteration instead
         # of two serialized psums — the latency win at multi-chip scale.
+        # NOTE: this variant has no per-shard Pallas kernels yet; an
+        # explicit cgs request takes priority over use_pallas.
+        if cfg.use_pallas:
+            import warnings
+
+            warnings.warn(
+                "pallas_cg_variant='cgs' on the sharded path runs the jnp "
+                "matvec (no per-shard Pallas kernels for CGS yet); "
+                "use_pallas is ignored", stacklevel=2)
         cg_fn = shard_cg.cg_sharded_cgs
     elif use_pallas:
         cg_fn = shard_cg.cg_sharded_pallas
