@@ -129,6 +129,26 @@ def test_cli_batched_multi_dataset(rng, tmp_path):
         assert np.all(np.isfinite(d["z"]))
 
 
+def test_cli_sharded_writes_outputs(rng, tmp_path):
+    """--sharded must honour the output flags (dumps + metrics)."""
+    I, mask, K, z0, sf = _synth_arrays(rng, h=64, w=32)
+    folder = str(tmp_path / "ds")
+    os.makedirs(folder)
+    _write_images(folder, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    rc = cli.main(["--dstype", "images", "--dsloc", folder,
+                   "--sharded", "8", "--max-iterations", "2",
+                   "--cg-max-iter", "15", "--dump", "--dump-dir", out,
+                   "--dump-format", "npz",
+                   "--metrics-jsonl", os.path.join(out, "metrics.jsonl")])
+    assert rc == 0
+    d = np.load(os.path.join(out, "state_final.npz"))
+    assert np.all(np.isfinite(d["z"]))
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(out, "metrics.jsonl"))]
+    assert any("energy" in ln for ln in lines)
+
+
 def test_cli_help_exit_zero(capsys):
     assert cli.main([]) == 0
     assert "dstype" in capsys.readouterr().out
