@@ -72,17 +72,22 @@ IX, IR, IW = range(3)
 
 
 def _shift(a, di, dj):
-    """out[i, j] = a[i + di, j + dj], zero fill (static shifts only).
+    """out[i, j] = a[i + di, j + dj] on a ring-banded block (static shifts).
 
-    Circular roll + iota masking: Mosaic lowers rotates natively, whereas
-    minor-dim concatenates of unaligned shapes fail to lower."""
+    Circular roll: Mosaic lowers rotates natively, whereas minor-dim
+    concatenates of unaligned shapes fail to lower. COLUMN (lane) wraps
+    are masked to zero-fill — a wrapped column lands IN the interior.
+    ROW (sublane) wraps are deliberately NOT masked: every caller
+    operates on a band with an 8-row alignment ring whose outermost rows
+    are discarded, and the wrapped garbage propagates at most 4 rows
+    through the deepest stencil composition (the fromop/CGS prologue's
+    matvec-of-residual), so it never reaches an interior row. Dropping
+    the row iota+select saves ~2 VPU ops per shift in the hot kernels.
+    """
     h, w = a.shape
     out = a
     if di:
         out = pltpu.roll(out, (-di) % h, 0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        valid = (ii < h - di) if di > 0 else (ii >= -di)
-        out = jnp.where(valid, out, 0.0)
     if dj:
         out = pltpu.roll(out, (-dj) % w, 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
