@@ -268,23 +268,36 @@ def _vmem_rows_per_width(th: int, pipelined: bool) -> int:
     return 13 * tb + th
 
 
-def pick_th(h: int, w: int, vmem_budget: int = 28 << 20,
+def pick_th(h: int, w: int, vmem_budget: int = 30 << 20,
             pipelined: bool = True):
-    """Largest band height whose VMEM footprint fits the budget at this
-    width — wide grids (1080p/4K) automatically run shorter bands instead
-    of falling off the Pallas path. RING=8 alignment requires th % 8 == 0
-    (which also covers the sf in {1,2,4} tile constraint). Returns None
-    when even th=8 does not fit (≈9.4k-wide grids pipelined)."""
+    """Band height with the lowest modelled cost among those whose VMEM
+    footprint fits the budget at this width.
+
+    The kernels are DMA-issue-latency-bound on this hardware (measured:
+    doubling the streamed bytes costs only +25% time), so FEWER, TALLER
+    bands win until the scoped-VMEM limit bites: Mitten th=64 -> 192 is
+    -6.7% per CG call. Cost model: processed rows hp (padding included) +
+    per-band overhead of ~(2*RING + 14) row-equivalents (ring re-reads +
+    measured fixed issue cost). The budget is the 40 MB scoped-vmem limit
+    (CompilerParams) divided by the measured ~1.3x model->actual factor.
+    RING=8 alignment requires th % 8 == 0 (which also covers the sf in
+    {1,2,4} tile constraint). Returns None when even th=8 does not fit
+    (>~10k-wide grids pipelined)."""
     wp = -(-w // 128) * 128
-    for th in (64, 32, 16, 8):
+    best, best_cost = None, None
+    for th in (192, 128, 96, 64, 32, 16, 8):
         if th > max(8, -(-h // 8) * 8):
             continue  # don't run bands taller than the (padded) image
-        if _vmem_rows_per_width(th, pipelined) * wp * 4 <= vmem_budget:
-            return th
-    return None
+        if _vmem_rows_per_width(th, pipelined) * wp * 4 > vmem_budget:
+            continue
+        hp = -(-h // th) * th
+        cost = hp + (2 * RING + 14) * (hp // th)
+        if best is None or cost < best_cost:
+            best, best_cost = th, cost
+    return best
 
 
-def supported(h: int, w: int, sf: int, vmem_budget: int = 28 << 20,
+def supported(h: int, w: int, sf: int, vmem_budget: int = 30 << 20,
               pipelined: bool = True) -> bool:
     """Whether the fused kernels fit this problem (width-driven VMEM, with
     adaptive band height via :func:`pick_th`).
