@@ -162,10 +162,14 @@ def _run_batched(datas, locs, cfg, rt):
 
     sfs = {int(d.sf) for d in datas}
     shapes = {d.mask.shape for d in datas}
-    if len(sfs) != 1 or len(shapes) != 1:
+    stacks = {tuple(d.I.shape[:2]) for d in datas}  # (n images, c channels)
+    if len(sfs) != 1 or len(shapes) != 1 or len(stacks) != 1:
         raise SystemExit(
             f"batched solve needs matching geometry: sf={sorted(sfs)}, "
-            f"shapes={sorted(shapes)}")
+            f"shapes={sorted(shapes)}, (n,c)={sorted(stacks)}")
+    if rt.resume_from:
+        raise SystemExit("--resume-from is not supported in batched "
+                         "(comma --dsloc) mode; run objects separately")
     sf = sfs.pop()
     probs, states = [], []
     for d in datas:
@@ -174,17 +178,40 @@ def _run_batched(datas, locs, cfg, rt):
         states.append(st)
     prob_b = batched.stack_problems(probs)
     state_b = batched.stack_states(states)
-    final, trace = batched.solve_batched(state_b, prob_b, sf, cfg)
-    trace = np.asarray(trace)
+    profiler_cm = None
+    if rt.profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(rt.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        final, trace = batched.solve_batched(state_b, prob_b, sf, cfg)
+        trace = np.asarray(trace)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
     final_energies = np.asarray(final.energy)
+    # Output names: dataset basename, deduped with the lane index when two
+    # --dsloc entries share a basename (they'd otherwise overwrite each
+    # other's dumps).
+    names = [os.path.basename(os.path.normpath(loc)) or f"obj{b}"
+             for b, loc in enumerate(locs)]
+    names = [n if names.count(n) == 1 else f"{n}_{b}"
+             for b, n in enumerate(names)]
+    metrics = []
     for b, loc in enumerate(locs):
-        name = os.path.basename(os.path.normpath(loc)) or f"obj{b}"
+        name = names[b]
         n_it = int(np.isfinite(trace[b]).sum())
         # Report the energy of the state actually written (the last
         # iterate), not the trajectory minimum — the stopping rule allows
         # a final energy increase (reference semantics).
         print(f"[{name}] {n_it} iterations, final energy "
               f"{float(final_energies[b]):.3f}")
+        for i in range(n_it):
+            metrics.append({"object": name, "iteration": i + 1,
+                            "energy": float(trace[b, i])})
+        metrics.append({"object": name, "iterations": n_it,
+                        "final_energy": float(final_energies[b])})
         if rt.dump_iterations or rt.save_visualizations:
             sub = os.path.join(rt.dump_dir, name)
             os.makedirs(sub, exist_ok=True)
@@ -195,6 +222,15 @@ def _run_batched(datas, locs, cfg, rt):
                                    tag="_final")
             if rt.save_visualizations:
                 writers.save_visualizations(sub, st_b, mask, tag="_final")
+    if rt.metrics_jsonl:
+        import json
+
+        parent = os.path.dirname(rt.metrics_jsonl)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(rt.metrics_jsonl, "w") as f:
+            for rec in metrics:
+                f.write(json.dumps(rec) + "\n")
 
 
 def _run_sharded(data, cfg, n_devices: int, rt=None):

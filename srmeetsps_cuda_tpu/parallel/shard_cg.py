@@ -234,14 +234,12 @@ def cg_sharded_pallas(
             (S, p, p_alt, jnp.float32(0.0), r1_0, jnp.int32(0)))
         return _pcg.unpad_field(S[IX], geo), k, r1
 
-    from jax.experimental.shard_map import shard_map
-
     spec = P(axis_name, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         body_fn, mesh=mesh,
         in_specs=(spec,) * 14,
         out_specs=(spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
               op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
@@ -309,14 +307,12 @@ def cg_sharded_cgs(
              jnp.float32(1.0), jnp.float32(1.0), gamma_delta, jnp.int32(0)))
         return x, k, gdv[0]
 
-    from jax.experimental.shard_map import shard_map
-
     spec = P(axis_name, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         body_fn, mesh=mesh,
         in_specs=(spec,) * 14,
         out_specs=(spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
               op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
@@ -368,14 +364,12 @@ def cg_sharded(
              jnp.int32(0)))
         return x, k, r1
 
-    from jax.experimental.shard_map import shard_map
-
     spec = P(axis_name, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         body_fn, mesh=mesh,
-        in_specs=(spec,) * 13 + (spec,),
+        in_specs=(spec,) * 14,
         out_specs=(spec, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
               op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)

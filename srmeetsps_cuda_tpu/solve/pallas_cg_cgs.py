@@ -344,8 +344,12 @@ def _kernel(consts_ref, T_hbm, F_hbm, R0_hbm, T_out, iters_ref, r1_ref,
 
 
 def _vmem_rows_per_width_cgs(th: int) -> int:
+    """f32 VMEM rows per unit padded width: max of the two scoped blocks —
+    the iteration sweep 2*(11*TB + 7*TH) and the iteration-0 prologue
+    2*(13*TB + 2*TH) (x + 8 F + 4 R0 at TB, r/w out at TH), which is the
+    larger one at small th."""
     tb = th + 2 * RING
-    return 2 * (11 * tb + 7 * th)
+    return max(2 * (11 * tb + 7 * th), 2 * (13 * tb + 2 * th))
 
 
 def pick_th_cgs(h: int, w: int, vmem_budget: int = 28 << 20):

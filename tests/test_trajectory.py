@@ -19,7 +19,7 @@ from srmeetsps_cuda_tpu.ops.grid import masked_select_colmajor as pack
 import oracle
 
 
-def oracle_iteration(state_o, fixtures):
+def oracle_iteration(state_o, fixtures, cg_max_iter=100):
     """One outer iteration in oracle-land (packed masked vectors)."""
     (Dx, Dy, KT, I_pack, xx_p, yy_p, z0s_pack, fx, fy) = fixtures
     s, rho, z, N, dz = (state_o["s"], state_o["rho"], state_o["z"],
@@ -31,7 +31,8 @@ def oracle_iteration(state_o, fixtures):
     b_res = rhs - M @ z
     # float32 CG: the reference's actual arithmetic (all S-routines), so
     # the oracle trajectory stalls at the same precision ours does.
-    z, _ = oracle.cg(M, b_res, z, tol=1e-9, max_iter=100, dtype=np.float32)
+    z, _ = oracle.cg(M, b_res, z, tol=1e-9, max_iter=cg_max_iter,
+                     dtype=np.float32)
     z = z.astype(np.float64)
     energy = oracle.depth_energy(z, A, B, KT, z0s_pack)
     zx, zy = Dx @ z, Dy @ z
@@ -39,7 +40,9 @@ def oracle_iteration(state_o, fixtures):
     return dict(s=s, rho=rho, z=z, N=N, dz=dz, energy=energy)
 
 
-def test_three_iteration_trajectory(rng):
+def _trajectory_fixture(rng):
+    """Shared well-conditioned render fixture: returns
+    (prob, state, fixtures, state_o, sf)."""
     h, w, sf, n, c = 24, 16, 2, 5, 3
     mask = random_mask(rng, h, w)
     fx, fy = 500.0, 505.0
@@ -85,6 +88,12 @@ def test_three_iteration_trajectory(rng):
         dz=pack(np.asarray(state.dz), mask),
         energy=np.nan,
     )
+    return prob, state, fixtures, state_o, sf, mask
+
+
+def test_three_iteration_trajectory(rng):
+    prob, state, fixtures, state_o, sf, mask = _trajectory_fixture(rng)
+    c = int(prob.I.shape[0])
 
     # The depth normal matrix is ill-conditioned (cond ~1e8) and CG does
     # not converge within the reference's iteration cap, so any two f32
@@ -133,6 +142,26 @@ def test_three_iteration_trajectory(rng):
     # precisely why the reference stops on energy increase, SRPS.cu:299).
     # The invariant is that both implementations' trajectories track each
     # other, which the per-iteration energy comparisons above enforce.
+
+
+def test_iteration1_energy_tight_small_cg_cap(rng):
+    """TIGHT iteration-1 energy parity (ADVICE r2): with the CG capped at
+    5 iterations both sides take exactly 5 f32 steps, so the chaotic
+    unconverged-at-100 drift that forced the 1.5e-2 tolerance above cannot
+    compound — the energy must then agree to ~f32 operator rounding. This
+    keeps CLAUDE.md's "iteration-1 energies are a tight invariant" true
+    without loosening the realistic-cap check."""
+    prob, state, fixtures, state_o, sf, mask = _trajectory_fixture(rng)
+    cfg = SolverConfig(cg_max_iter=5)
+    state = srps.srps_iteration(state, prob, sf, cfg)
+    state_o = oracle_iteration(state_o, fixtures, cg_max_iter=5)
+    np.testing.assert_allclose(
+        float(state.energy), state_o["energy"], rtol=2e-3,
+        err_msg="tight iteration-1 energy mismatch (cg cap 5)")
+    z_got = pack(np.asarray(state.z), mask)
+    rmse = np.sqrt(np.mean((z_got - state_o["z"]) ** 2))
+    scale = np.sqrt(np.mean(state_o["z"] ** 2))
+    assert rmse / scale < 1e-4, f"iter-1 depth RMSE {rmse/scale:.2e}"
 
 
 class TestConvergedRegimeRMSE:
