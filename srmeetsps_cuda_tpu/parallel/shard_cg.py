@@ -31,7 +31,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 from ..ops import grid as gridops
-from ..solve import pallas_cg as _pcg
 
 
 
@@ -113,136 +112,6 @@ def matvec_band(v, Fx, axis_name: str, sf: int, lam: float,
     kt = gridops.resample_masked(v, masks_local, sf)
     ktt = gridops.resample_masked_t(kt, mask_local, masks_local, sf)
     return ktt + lam * ata
-
-
-# ---------------------------------------------------------------------------
-# Per-shard Pallas CG: the fused band kernels of solve/pallas_cg.py run
-# inside each shard, with ppermute halo refreshes and psum'd dot products
-# between kernel calls (VERDICT round 1 item 2).
-# ---------------------------------------------------------------------------
-
-
-def _shard_th(h_b: int, w: int):
-    """Band height for the per-shard kernels: must divide the shard height
-    exactly so the 2-row halos live inside the kernels' 8-row alignment
-    ring (the kernels then compute real interior rows only, keeping the
-    in-kernel <p, w> reduction shard-exact)."""
-    for th in (64, 32, 16, 8):
-        if h_b % th == 0 and _pcg.pick_th(h_b, w, pipelined=False) is not None:
-            if _pcg._vmem_rows_per_width(th, False) * (-(-w // 128) * 128) * 4 \
-                    <= 12 << 20:
-                return th
-    return None
-
-
-def shard_cg_pallas_supported(h: int, w: int, sf: int, n_shards: int) -> bool:
-    h_b = h // n_shards
-    return (h % n_shards == 0 and h_b % 8 == 0 and h_b % sf == 0
-            and sf in (1, 2, 4) and _shard_th(h_b, w) is not None
-            and (_pcg.INTERPRET
-                 or jax.default_backend() in ("tpu", "axon")))
-
-
-def _exchange_into_ring(a, h_b: int, axis_name: str, rows: int = 2):
-    """Refresh a padded field's ring halo rows from the neighbouring
-    shards' interior edges (2 ppermutes for both directions)."""
-    R = _pcg.RING
-    top, bottom = _halo_rows(a[R:R + h_b], rows, axis_name)
-    a = lax.dynamic_update_slice(a, top, (R - rows, 0))
-    a = lax.dynamic_update_slice(a, bottom, (R + h_b, 0))
-    return a
-
-
-def cg_sharded_pallas(
-    mesh: Mesh,
-    axis_name: str,
-    x0, b_residual, op, gm, mask, masks,
-    *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
-):
-    """cg_sharded with the fused Pallas band kernels inside each shard.
-
-    Same contract as :func:`cg_sharded`; requires
-    :func:`shard_cg_pallas_supported`. Per CG iteration the communication
-    is exactly 2 halo refreshes (p after the matvec kernel, r after the
-    axpy kernel — 2 ppermutes each) and 2 scalar psums; everything else is
-    the single-shard kernels of solve/pallas_cg.py run on the local band.
-    """
-    h, w = x0.shape
-    n_shards = mesh.shape[axis_name]
-    h_b = h // n_shards
-    th = _shard_th(h_b, w)
-    if th is None:
-        raise ValueError(f"unsupported shard geometry: h_b={h_b}, w={w}")
-    geo = _pcg.geometry(h_b, w, th)
-    tol_sq = jnp.float32(tol) ** 2
-    IX, IR, IW = _pcg.IX, _pcg.IR, _pcg.IW
-
-    def body_fn(x0_l, b_l, P11, P12, P13, P22, P23, P33,
-                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
-        ktw_l = _pcg.make_ktw(mask_l, masks_l, sf)
-
-        from types import SimpleNamespace
-
-        op_l = SimpleNamespace(P11=P11, P12=P12, P13=P13, P22=P22,
-                               P23=P23, P33=P33)
-        gm_l = SimpleNamespace(fwd_x=fwd_x, bwd_x=bwd_x,
-                               fwd_y=fwd_y, bwd_y=bwd_y)
-
-        # Static fields: pad + one-time 1-row halo refresh (stacked, so one
-        # ppermute pair covers all 11 fields).
-        F = _pcg.stack_fields(op_l, gm_l, ktw_l, geo)
-        Fm = jnp.moveaxis(F, 0, 1).reshape(F.shape[1], -1)
-        Fm = _exchange_into_ring(Fm, h_b, axis_name, rows=1)
-        F = jnp.moveaxis(Fm.reshape(F.shape[1], F.shape[0], F.shape[2]),
-                         1, 0)
-
-        S = jnp.stack([
-            _pcg.pad_field(jnp.asarray(x0_l, jnp.float32), geo),
-            _pcg.pad_field(jnp.asarray(b_l, jnp.float32), geo),
-            jnp.zeros(geo.shape, jnp.float32),
-        ])
-        # r's halo rows (b_residual edges) for the first kernel-A call.
-        S = S.at[IR].set(_exchange_into_ring(S[IR], h_b, axis_name))
-        p = jnp.zeros(geo.shape, jnp.float32)
-        p_alt = jnp.zeros(geo.shape, jnp.float32)
-        pdot = lambda v: lax.psum(v, axis_name)
-        # (ring halo rows of r are neighbour-interior copies; exclude them)
-        r1_0 = pdot(jnp.sum(S[IR, _pcg.RING:_pcg.RING + h_b] ** 2))
-
-        def cond(c):
-            S, p, p_alt, r0, r1, k = c
-            return (r1 > tol_sq) & (k <= max_iter)
-
-        def body(c):
-            S, p, p_alt, r0, r1, k = c
-            k = k + 1
-            beta = jnp.where(k == 1, 0.0, r1 / jnp.where(r0 == 0, 1.0, r0))
-            p_new, S, pw = _pcg._call_kernel_a(
-                S, p, p_alt, F, beta.reshape(1, 1), geo, lam, sf)
-            pw = pdot(pw[0, 0])
-            alpha = r1 / jnp.where(pw == 0, 1.0, pw)
-            # Refresh p_new's ring halo before it becomes next iteration's
-            # stencil input (kernel A writes interiors only).
-            p_new = _exchange_into_ring(p_new, h_b, axis_name)
-            S, rr = _pcg._call_kernel_b(S, p_new, alpha.reshape(1, 1), geo)
-            rr = pdot(rr[0, 0])
-            S = S.at[IR].set(_exchange_into_ring(S[IR], h_b, axis_name))
-            return S, p_new, p, r1, rr, k
-
-        S, p, p_alt, _, r1, k = lax.while_loop(
-            cond, body,
-            (S, p, p_alt, jnp.float32(0.0), r1_0, jnp.int32(0)))
-        return _pcg.unpad_field(S[IX], geo), k, r1
-
-    spec = P(axis_name, None)
-    fn = jax.shard_map(
-        body_fn, mesh=mesh,
-        in_specs=(spec,) * 14,
-        out_specs=(spec, P(), P()),
-        check_vma=False,
-    )
-    return fn(x0, b_residual, op.P11, op.P12, op.P13, op.P22, op.P23,
-              op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
 
 
 def cg_sharded_cgs(

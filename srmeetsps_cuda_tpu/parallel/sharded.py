@@ -155,12 +155,10 @@ def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
     """Depth solve routed through the manual shard_map CG (per-shard
     Pallas band kernels on TPU, jnp matvec otherwise). The operators are
     built under GSPMD; only the CG hot loop is hand-scheduled."""
-    from . import shard_cg
+    from . import shard_cg, shard_pallas
 
     lam = cfg.lam
     op = srps.build_depth_operator(prob, mom, rho, dz, lam)
-    rhs = srps.depth_rhs(op, prob, sf, lam)
-    b_res = rhs - srps.depth_matvec(z, op, prob, sf, lam)
     h, w = z.shape
     n = mesh.shape[axis]
     if cfg.jacobi_preconditioner:
@@ -171,27 +169,24 @@ def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
             "jacobi_preconditioner is not supported on the sharded path; "
             "drop --jacobi or run single-device")
     use_pallas = (cfg.use_pallas
-                  and shard_cg.shard_cg_pallas_supported(h, w, sf, n))
-    if cfg.pallas_cg_variant == "cgs":
-        # Single-reduction CG: one fused psum pair per iteration instead
-        # of two serialized psums — the latency win at multi-chip scale.
-        # NOTE: this variant has no per-shard Pallas kernels yet; an
-        # explicit cgs request takes priority over use_pallas.
-        if cfg.use_pallas:
-            import warnings
-
-            warnings.warn(
-                "pallas_cg_variant='cgs' on the sharded path runs the jnp "
-                "matvec (no per-shard Pallas kernels for CGS yet); "
-                "use_pallas is ignored", stacklevel=2)
-        cg_fn = shard_cg.cg_sharded_cgs
-    elif use_pallas:
-        cg_fn = shard_cg.cg_sharded_pallas
+                  and shard_pallas.shard_pallas_supported(h, w, sf, n))
+    if use_pallas:
+        # Per-shard Pallas kernels with the in-kernel r0 prologue — no
+        # jnp rhs/matvec passes at all. CGS = single-reduction flagship.
+        cg_fn = (shard_pallas.cg_sharded_pallas_cgs
+                 if cfg.pallas_cg_variant == "cgs"
+                 else shard_pallas.cg_sharded_pallas_std)
+        x, k, _ = cg_fn(mesh, axis, z, op, prob.gm, prob.mask, prob.masks,
+                        prob.z0t, sf=sf, lam=lam, tol=cfg.cg_tol,
+                        max_iter=cfg.cg_max_iter)
     else:
-        cg_fn = shard_cg.cg_sharded
-    x, k, _ = cg_fn(mesh, axis, z, b_res, op, prob.gm, prob.mask,
-                    prob.masks, sf=sf, lam=lam, tol=cfg.cg_tol,
-                    max_iter=cfg.cg_max_iter)
+        rhs = srps.depth_rhs(op, prob, sf, lam)
+        b_res = rhs - srps.depth_matvec(z, op, prob, sf, lam)
+        cg_fn = (shard_cg.cg_sharded_cgs if cfg.pallas_cg_variant == "cgs"
+                 else shard_cg.cg_sharded)
+        x, k, _ = cg_fn(mesh, axis, z, b_res, op, prob.gm, prob.mask,
+                        prob.masks, sf=sf, lam=lam, tol=cfg.cg_tol,
+                        max_iter=cfg.cg_max_iter)
     z_new = x * prob.mask
     energy = srps.depth_energy(z_new, op, prob, sf, lam)
     return z_new, energy, k
@@ -319,3 +314,22 @@ def dryrun(n_devices: int, batch: Optional[int] = None) -> None:
         partial(solve_fused_sharded, sf=sf, cfg=cfg_cgs, mesh=mesh1))(st1, pb1)
     jax.block_until_ready(st2_out)
     assert np.isfinite(float(st2_out.energy)), "non-finite cgs-sharded energy"
+
+    # Per-shard Pallas kernels (gen-2: prologue + CGS sweep / std pair) in
+    # interpret mode — proves the multi-chip sharding of the kernelized
+    # paths traces, compiles and executes on the mesh.
+    from ..solve import pallas_cg as _pcg
+
+    old_interp = _pcg.INTERPRET
+    _pcg.INTERPRET = True
+    try:
+        for variant in ("cgs", "pipe"):
+            cfg_p = SolverConfig(max_iterations=1, cg_max_iter=5,
+                                 use_pallas=True, pallas_cg_variant=variant)
+            stp, _ = jax.jit(partial(
+                solve_fused_sharded, sf=sf, cfg=cfg_p, mesh=mesh1))(st1, pb1)
+            jax.block_until_ready(stp)
+            assert np.isfinite(float(stp.energy)), (
+                f"non-finite pallas-sharded energy ({variant})")
+    finally:
+        _pcg.INTERPRET = old_interp

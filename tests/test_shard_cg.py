@@ -149,10 +149,42 @@ class TestShardCGSingleReduction:
                                    rtol=1e-4, atol=1e-4)
 
 
-class TestShardCGPallas:
-    def test_matches_single_device(self, rng, monkeypatch):
-        """Per-shard Pallas band kernels inside shard_map (interpret mode)
-        == single-device jnp CG."""
+class TestShardPallas:
+    """Generation-2 per-shard Pallas kernels (parallel/shard_pallas.py):
+    in-kernel r0 prologue, packed F, CGS sweep, tail-band overlap."""
+
+    def _ref(self, prob, st, op, sf, max_iter=30):
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        return conjugate_gradient(mv, b_res, st.z, tol=1e-4,
+                                  max_iter=max_iter)
+
+    def test_std_matches_single_device(self, rng, monkeypatch):
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        ref = self._ref(prob, st, op, sf)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        assert shard_pallas.shard_pallas_supported(h, w, sf, 8)
+        x, k, r1 = shard_pallas.cg_sharded_pallas_std(
+            mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks, prob.z0t,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        assert abs(int(k) - int(ref.iterations)) <= 2
+        d = np.asarray(x) - np.asarray(ref.x)
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
+
+    def test_cgs_matches_jnp_cgs_short_horizon(self, rng, monkeypatch):
+        """2 iterations: CGS == standard CG algebraically; the per-shard
+        Pallas sweep must match the jnp sharded CGS tightly."""
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
         from srmeetsps_cuda_tpu.solve import pallas_cg
 
         monkeypatch.setattr(pallas_cg, "INTERPRET", True)
@@ -164,17 +196,57 @@ class TestShardCGPallas:
                                sf=sf, lam=1.0)
         rhs = srps.depth_rhs(op, prob, sf, 1.0)
         b_res = rhs - mv(st.z)
-        ref = conjugate_gradient(mv, b_res, st.z, tol=1e-4, max_iter=30)
-
         mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
-        assert shard_cg.shard_cg_pallas_supported(h, w, sf, 8)
-        x, k, r1 = shard_cg.cg_sharded_pallas(
+        x_j, k_j, _ = shard_cg.cg_sharded_cgs(
             mesh, "x", st.z, b_res, op, prob.gm, prob.mask, prob.masks,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=2)
+        x_p, k_p, _ = shard_pallas.cg_sharded_pallas_cgs(
+            mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks, prob.z0t,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=2)
+        assert int(k_j) == int(k_p)
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_j),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_cgs_progress_at_cap(self, rng, monkeypatch):
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        ref = self._ref(prob, st, op, sf)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x, k, r1 = shard_pallas.cg_sharded_pallas_cgs(
+            mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks, prob.z0t,
             sf=sf, lam=1.0, tol=1e-4, max_iter=30)
         assert abs(int(k) - int(ref.iterations)) <= 2
         d = np.asarray(x) - np.asarray(ref.x)
         rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
-        assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
+        assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1
+
+    def test_tail_band_overlap_geometry(self, rng, monkeypatch):
+        """h_b = 24 with th = 16: the second band starts at row 8 and
+        overlaps 8 rows — results must still match the jnp path exactly
+        (idempotent overlap writes, owned-row-masked reductions)."""
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 192, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        assert shard_pallas.pick_th_shard(24, w) == 16  # tail geometry
+        ref = self._ref(prob, st, op, sf)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        assert shard_pallas.shard_pallas_supported(h, w, sf, 8)
+        for fn in (shard_pallas.cg_sharded_pallas_std,
+                   shard_pallas.cg_sharded_pallas_cgs):
+            x, k, r1 = fn(
+                mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+                prob.z0t, sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+            assert abs(int(k) - int(ref.iterations)) <= 2
+            d = np.asarray(x) - np.asarray(ref.x)
+            rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+            assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1, fn.__name__
 
 
 class TestShardedIteration:
