@@ -419,10 +419,22 @@ def estimate_depth(
     h, w = z.shape
     from ..solve import pallas_cg as _pcg
 
-    # The Pallas kernels are unpreconditioned; when the user asked for
-    # Jacobi preconditioning, route to the jnp PCG instead of silently
-    # running a different solver trajectory.
-    if (cfg.use_pallas and not cfg.jacobi_preconditioner
+    # Jacobi-preconditioned Pallas CG: the diag field rides as one more
+    # packed F row and z = r/diag is one VPU multiply in-kernel (the dead
+    # ILU0 intent of devicecalls.cu:285-374, done TPU-right). Only the
+    # pipelined fromop kernel implements it; otherwise Jacobi routes to
+    # the jnp PCG (never silently a different solver trajectory).
+    if (cfg.use_pallas and cfg.jacobi_preconditioner
+            and cfg.pallas_fused_loop and cfg.pallas_cg_variant != "cgs"
+            and _pcg.supported(h, w, sf, pipelined=True, jacobi=True)):
+        from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop
+
+        invd = 1.0 / depth_diag(op, prob, sf, lam)
+        x, iters, _ = cg_pallas_pipelined_fromop(
+            z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
+        res = CGResult(x, iters, jnp.float32(0.0))
+    elif (cfg.use_pallas and not cfg.jacobi_preconditioner
             and _pcg.supported(h, w, sf, pipelined=False)):
         from ..solve import pallas_cg_cgs as _cgs
         from ..solve.pallas_cg import cg_pallas
@@ -548,3 +560,47 @@ def solve_fused(
     # First iteration always runs (NaN energies make should_stop false).
     final, trace = lax.while_loop(cond, body, (state, trace0))
     return final, trace
+
+
+def solve_fused_traced(
+    state: SRPSState, prob: SRPSProblem, sf: int, cfg: SolverConfig
+) -> Tuple[SRPSState, jax.Array, dict]:
+    """:func:`solve_fused` variant that additionally records the full
+    per-iteration state (s, rho, z, N, dz) in preallocated on-device
+    traces, so ``--fused --dump`` can reproduce the reference's
+    every-iteration dump channel (SRPS.cu:330-333) without leaving the
+    on-device while_loop. Costs ~(max_iterations + 2) x state-size HBM —
+    only used when per-iteration dumps were requested."""
+    trace_len = cfg.max_iterations + 2
+    h, w = prob.mask.shape
+    c, n = prob.I.shape[:2]
+    straces0 = {
+        "s": jnp.zeros((trace_len, n, c, 4), jnp.float32),
+        "rho": jnp.zeros((trace_len, c, h, w), jnp.float32),
+        "z": jnp.zeros((trace_len, h, w), jnp.float32),
+        "N": jnp.zeros((trace_len, 4, h, w), jnp.float32),
+        "dz": jnp.zeros((trace_len, h, w), jnp.float32),
+    }
+
+    def cond(carry):
+        st, _, _ = carry
+        return ~should_stop(st, cfg) | (st.iteration == 0)
+
+    def body(carry):
+        st, trace, straces = carry
+        st = srps_iteration(st, prob, sf, cfg)
+        i = st.iteration - 1
+        trace = trace.at[i].set(st.energy)
+        straces = {
+            "s": straces["s"].at[i].set(st.s),
+            "rho": straces["rho"].at[i].set(st.rho),
+            "z": straces["z"].at[i].set(st.z),
+            "N": straces["N"].at[i].set(st.N),
+            "dz": straces["dz"].at[i].set(st.dz),
+        }
+        return st, trace, straces
+
+    trace0 = jnp.full((trace_len,), jnp.nan, jnp.float32)
+    final, trace, straces = lax.while_loop(
+        cond, body, (state, trace0, straces0))
+    return final, trace, straces

@@ -256,20 +256,21 @@ def geometry(h: int, w: int, th: int = TH) -> PaddedGeometry:
     return PaddedGeometry(h, w, hp, wp, th)
 
 
-def _vmem_rows_per_width(th: int, pipelined: bool) -> int:
+def _vmem_rows_per_width(th: int, pipelined: bool,
+                         jacobi: bool = False) -> int:
     """f32 VMEM rows per unit of padded width a band consumes."""
     tb = th + 2 * RING
     if pipelined:
         # The fromop iteration-0 prologue is the largest scoped block:
-        # 2 slots of (x, 8 packed F rows, 4 R0 rows) at TB plus the r
-        # output at TH — bigger than phase 0's 2*(10*TB + TH).
-        return 2 * (13 * tb + th)
+        # 2 slots of (x, 8(+1 invd) packed F rows, 4 R0 rows) at TB plus
+        # the r output at TH — bigger than phase 0's 2*(10*TB + TH).
+        return 2 * ((13 + (1 if jacobi else 0)) * tb + th)
     # single-buffer: r, p, 11 unpacked F rows, w.
     return 13 * tb + th
 
 
 def pick_th(h: int, w: int, vmem_budget: int = 30 << 20,
-            pipelined: bool = True):
+            pipelined: bool = True, jacobi: bool = False):
     """Band height with the lowest modelled cost among those whose VMEM
     footprint fits the budget at this width.
 
@@ -288,7 +289,7 @@ def pick_th(h: int, w: int, vmem_budget: int = 30 << 20,
     for th in (192, 128, 96, 64, 32, 16, 8):
         if th > max(8, -(-h // 8) * 8):
             continue  # don't run bands taller than the (padded) image
-        if _vmem_rows_per_width(th, pipelined) * wp * 4 > vmem_budget:
+        if _vmem_rows_per_width(th, pipelined, jacobi) * wp * 4 > vmem_budget:
             continue
         hp = -(-h // th) * th
         cost = hp + (2 * RING + 14) * (hp // th)
@@ -298,7 +299,7 @@ def pick_th(h: int, w: int, vmem_budget: int = 30 << 20,
 
 
 def supported(h: int, w: int, sf: int, vmem_budget: int = 30 << 20,
-              pipelined: bool = True) -> bool:
+              pipelined: bool = True, jacobi: bool = False) -> bool:
     """Whether the fused kernels fit this problem (width-driven VMEM, with
     adaptive band height via :func:`pick_th`).
 
@@ -311,7 +312,7 @@ def supported(h: int, w: int, sf: int, vmem_budget: int = 30 << 20,
         return False
     if sf not in (1, 2, 4):
         return False
-    return pick_th(h, w, vmem_budget, pipelined) is not None
+    return pick_th(h, w, vmem_budget, pipelined, jacobi) is not None
 
 
 def pad_field(a, geo: PaddedGeometry):

@@ -42,19 +42,23 @@ from .pallas_cg_fused import TX, TR, TW_, TP0, S_R0, S_R1, S_PW, S_RR, \
 # Packed field layout: 7 f32 coefficient rows + one row of gradient-mask
 # bits (int32 bit-packed, stored bitcast as f32) — 8 DMA'd rows instead of
 # the 11 of the unpacked layout, a ~23% input-traffic cut on a kernel that
-# runs at the HBM roofline.
+# runs at the HBM roofline. With Jacobi preconditioning a 9th row carries
+# 1/diag(M) (IVD).
 KTW = 6
 MB = 7
+IVD = 8
 
 
-def stack_fields_packed(op, gm, ktw, geo):
+def stack_fields_packed(op, gm, ktw, geo, invd=None):
     mb = (gm.fwd_x.astype(jnp.int32)
           | (gm.bwd_x.astype(jnp.int32) << 1)
           | (gm.fwd_y.astype(jnp.int32) << 2)
           | (gm.bwd_y.astype(jnp.int32) << 3))
     mb_f = jax.lax.bitcast_convert_type(mb, jnp.float32)
-    F = jnp.stack([op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
-                   ktw, mb_f])
+    rows = [op.P11, op.P12, op.P13, op.P22, op.P23, op.P33, ktw, mb_f]
+    if invd is not None:
+        rows.append(invd)
+    F = jnp.stack(rows)
     return pad_field(F, geo)
 
 
@@ -65,10 +69,18 @@ def _unpack_masks(mb_f32):
             f32((mb >> 2) & 1), f32((mb >> 3) & 1))
 
 
+# Extra SMEM slot (beyond pallas_cg_fused's 7): the true squared residual
+# when Jacobi-preconditioned (S_R0/S_R1 then hold the rz = <r, P^-1 r>
+# recurrence dots, but stopping tests <r, r> — jnp-PCG semantics).
+S_RR2 = 7
+
+
 def _kernel(consts_ref, T_hbm, F_hbm, *rest,
             lam: float, sf: int, n_bands: int, th: int,
-            fromop: bool = False):
+            fromop: bool = False, jacobi: bool = False):
     TH = th
+    NF = 9 if jacobi else 8
+    assert not jacobi or fromop, "jacobi requires the fromop prologue"
     """Grid (B, max_iter+1+off, 2): lanes (batched problems) run
     sequentially on the core; per-lane CG scalar state lives in the SMEM
     workspace and is re-initialised at each lane's first step, so per-lane
@@ -140,7 +152,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
 
                 start_in(0)
 
-                def loop(b, rr):
+                def loop(b, acc):
                     slot = lax.rem(b, 2)
 
                     @pl.when(b + 1 < n_bands)
@@ -188,19 +200,27 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
                         r_bufs.at[slot],
                         T_out.at[lane, TR, pl.ds(b * TH + RING, TH), :],
                         out_sems.at[slot]).start()
-                    return rr + jnp.sum(r * r)
+                    rr, rz = acc
+                    rr = rr + jnp.sum(r * r)
+                    if jacobi:
+                        rz = rz + jnp.sum(
+                            r * r * f[IVD, RING:RING + TH, :])
+                    return (rr, rz)
 
-                rr = lax.fori_loop(0, n_bands, loop, jnp.float32(0.0))
+                rr, rz = lax.fori_loop(
+                    0, n_bands, loop, (jnp.float32(0.0), jnp.float32(0.0)))
                 if n_bands >= 2:
                     wait_out(n_bands - 2)
                 wait_out(n_bands - 1)
-                scal[0, S_R1] = rr
+                scal[0, S_R1] = rz if jacobi else rr
+                if jacobi:
+                    scal[0, S_RR2] = rr
                 r1_ref[lane, 0] = rr
 
             pl.run_scoped(
                 body,
                 x_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
-                f_bufs=pltpu.VMEM((2, 8, TB, wp), jnp.float32),
+                f_bufs=pltpu.VMEM((2, NF, TB, wp), jnp.float32),
                 q_bufs=pltpu.VMEM((2, 4, TB, wp), jnp.float32),
                 r_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
                 in_sems=pltpu.SemaphoreType.DMA((2, 3)),
@@ -210,8 +230,10 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
     @pl.when((phase == 0) & (it >= off))
     def _():
         r1 = scal[0, S_R1]
+        stop_dot = scal[0, S_RR2] if jacobi else r1
         active = jnp.where(
-            (r1 > tol_sq) & ((it - off).astype(jnp.float32) <= max_iter),
+            (stop_dot > tol_sq)
+            & ((it - off).astype(jnp.float32) <= max_iter),
             scal[0, S_ACT], 0.0)
         scal[0, S_ACT] = active
         scal[0, S_BETA] = jnp.where(
@@ -277,8 +299,12 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
                 wait_in(b)
 
                 beta = scal[0, S_BETA]
-                p = r_bufs[slot] + beta * p_bufs[slot]
                 f = f_bufs.at[slot]
+                if jacobi:
+                    # z = P^-1 r on the fly — invd rides as a packed row.
+                    p = r_bufs[slot] * f[IVD] + beta * p_bufs[slot]
+                else:
+                    p = r_bufs[slot] + beta * p_bufs[slot]
                 fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
                 g = fwd_x * (_shift(p, 0, 1) - p) + bwd_x * (p - _shift(p, 0, -1))
                 h = fwd_y * (_shift(p, 1, 0) - p) + bwd_y * (p - _shift(p, -1, 0))
@@ -324,7 +350,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
             body,
             r_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
             p_bufs=pltpu.VMEM((2, TB, wp), jnp.float32),
-            f_bufs=pltpu.VMEM((2, 8, TB, wp), jnp.float32),
+            f_bufs=pltpu.VMEM((2, NF, TB, wp), jnp.float32),
             w_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
             in_sems=pltpu.SemaphoreType.DMA((2, 3)),
             out_sems=pltpu.SemaphoreType.DMA((2, 2)),
@@ -340,7 +366,7 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
 
     @pl.when(active & (phase == 1))
     def _():
-        def body(s_bufs, p_bufs, in_sems, out_sems):
+        def body(s_bufs, p_bufs, i_bufs, in_sems, out_sems):
             def start_in(b):
                 slot = lax.rem(b, 2)
                 pltpu.make_async_copy(
@@ -349,6 +375,10 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
                 pltpu.make_async_copy(
                     T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     p_bufs.at[slot], in_sems.at[slot, 1]).start()
+                if jacobi:
+                    pltpu.make_async_copy(
+                        F_hbm.at[lane, IVD, pl.ds(b * TH + RING, TH), :],
+                        i_bufs.at[slot], in_sems.at[slot, 2]).start()
 
             def wait_in(b):
                 slot = lax.rem(b, 2)
@@ -358,6 +388,10 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
                 pltpu.make_async_copy(
                     T_out.at[lane, p_dst, pl.ds(b * TH + RING, TH), :],
                     p_bufs.at[slot], in_sems.at[slot, 1]).wait()
+                if jacobi:
+                    pltpu.make_async_copy(
+                        F_hbm.at[lane, IVD, pl.ds(b * TH + RING, TH), :],
+                        i_bufs.at[slot], in_sems.at[slot, 2]).wait()
 
             def wait_out(b):
                 slot = lax.rem(b, 2)
@@ -368,7 +402,8 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
 
             start_in(0)
 
-            def loop(b, rr):
+            def loop(b, acc):
+                rr, rz = acc
                 slot = lax.rem(b, 2)
 
                 @pl.when(b + 1 < n_bands)
@@ -390,25 +425,37 @@ def _kernel(consts_ref, T_hbm, F_hbm, *rest,
                     s_bufs.at[slot, pl.ds(TX, 2)],
                     T_out.at[lane, pl.ds(TX, 2), pl.ds(b * TH + RING, TH), :],
                     out_sems.at[slot]).start()
-                return rr + jnp.sum(r * r)
+                rr = rr + jnp.sum(r * r)
+                if jacobi:
+                    rz = rz + jnp.sum(r * r * i_bufs[slot])
+                return (rr, rz)
 
-            rr = lax.fori_loop(0, n_bands, loop, jnp.float32(0.0))
+            rr, rz = lax.fori_loop(
+                0, n_bands, loop, (jnp.float32(0.0), jnp.float32(0.0)))
             if n_bands >= 2:
                 wait_out(n_bands - 2)
             wait_out(n_bands - 1)
             scal[0, S_RR] = rr
+            if jacobi:
+                # Park rz in S_PW: it was consumed for alpha before this
+                # scoped block, so the slot is free until next phase 0.
+                scal[0, S_PW] = rz
 
         pl.run_scoped(
             body,
             s_bufs=pltpu.VMEM((2, 3, TH, wp), jnp.float32),
             p_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
-            in_sems=pltpu.SemaphoreType.DMA((2, 2)),
+            i_bufs=pltpu.VMEM((2, TH, wp), jnp.float32),
+            in_sems=pltpu.SemaphoreType.DMA((2, 3 if jacobi else 2)),
             out_sems=pltpu.SemaphoreType.DMA((2,)),
         )
 
-        # Rotate scalars at end of iteration.
+        # Rotate scalars at end of iteration. With Jacobi, S_R0/S_R1 carry
+        # the rz recurrence and S_RR2 the true <r, r> for stopping.
         scal[0, S_R0] = scal[0, S_R1]
-        scal[0, S_R1] = scal[0, S_RR]
+        scal[0, S_R1] = scal[0, S_PW] if jacobi else scal[0, S_RR]
+        if jacobi:
+            scal[0, S_RR2] = scal[0, S_RR]
         r1_ref[lane, 0] = scal[0, S_RR]
 
 
@@ -480,7 +527,7 @@ def cg_pallas_pipelined_batched(
 
 def cg_pallas_pipelined_fromop_batched(
     x0, op, gm, ktw, z0t, *, sf: int, lam: float,
-    tol: float = 1e-9, max_iter: int = 100,
+    tol: float = 1e-9, max_iter: int = 100, invd=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Lane-batched single-launch CG with the initial residual computed
     IN-KERNEL (iteration-0 prologue): instead of a host-side
@@ -488,16 +535,24 @@ def cg_pallas_pipelined_fromop_batched(
     streams the QB fields and the precomputed ``z0t = KT^T z0s`` once and
     forms r0 band-by-band. Args as :func:`cg_pallas_pipelined_batched`
     but with (op, z0t) replacing b_residual; z0t carries a leading batch
-    dim like x0."""
+    dim like x0. With ``invd`` (batched 1/diag(M) field) the kernel runs
+    Jacobi-preconditioned CG with jnp-PCG stopping semantics (<r, r>
+    tested, rz recurrence for beta/alpha)."""
     B, h, w = x0.shape
+    jacobi = invd is not None
     if sf not in (1, 2, 4):
         raise ValueError(f"unsupported sf: {sf}")
-    th = pick_th(h, w, pipelined=True)
+    th = pick_th(h, w, pipelined=True, jacobi=jacobi)
     if th is None:
         raise ValueError(f"grid too wide for pipelined pallas CG: {w}")
     geo = geometry(h, w, th)
-    F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
-        op, gm, ktw)
+    if jacobi:
+        F = jax.vmap(lambda o, g, k, i: stack_fields_packed(
+            o, g, k, geo, invd=i))(op, gm, ktw, jnp.asarray(
+                invd, jnp.float32))
+    else:
+        F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
+            op, gm, ktw)
     R0 = jax.vmap(lambda o, z: pad_field(
         jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
             z0t, jnp.float32))
@@ -514,7 +569,7 @@ def cg_pallas_pipelined_fromop_batched(
 
     n_bands = geo.n_bands
     kernel = functools.partial(_kernel, lam=lam, sf=sf, n_bands=n_bands,
-                               th=geo.th, fromop=True)
+                               th=geo.th, fromop=True, jacobi=jacobi)
     T_new, iters, r1, _scal = pl.pallas_call(
         kernel,
         grid=(B, max_iter + 2, 2),
@@ -547,7 +602,7 @@ def cg_pallas_pipelined_fromop_batched(
 
 def cg_pallas_pipelined_fromop(
     x0, op, gm, ktw, z0t, *, sf: int, lam: float,
-    tol: float = 1e-9, max_iter: int = 100,
+    tol: float = 1e-9, max_iter: int = 100, invd=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Single-problem wrapper over the fromop (in-kernel r0) variant."""
     add_b = lambda a: jnp.asarray(a)[None]
@@ -555,7 +610,8 @@ def cg_pallas_pipelined_fromop(
         add_b(x0),
         jax.tree_util.tree_map(add_b, op),
         jax.tree_util.tree_map(add_b, gm),
-        add_b(ktw), add_b(z0t), sf=sf, lam=lam, tol=tol, max_iter=max_iter)
+        add_b(ktw), add_b(z0t), sf=sf, lam=lam, tol=tol, max_iter=max_iter,
+        invd=None if invd is None else add_b(invd))
     return x[0], iters[0], r1[0]
 
 
