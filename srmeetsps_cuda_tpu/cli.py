@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump", action="store_true",
                    help="dump s/rho/z/N each iteration (reference behaviour)")
     p.add_argument("--dump-dir", default=".")
-    p.add_argument("--dump-format", choices=["mat", "npz"], default="mat")
+    p.add_argument("--dump-format", choices=["mat", "mat5", "npz"],
+                   default="mat",
+                   help="mat = MAT 7.3 HDF5 container (reference parity, "
+                        "Utilities.cpp MAT_FT_MAT73); mat5 = scipy v5")
     p.add_argument("--viz", action="store_true",
                    help="save PNG visualizations (replaces cv::imshow)")
     p.add_argument("--dump-operators", action="store_true",

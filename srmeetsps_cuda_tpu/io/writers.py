@@ -18,42 +18,116 @@ import numpy as np
 from ..ops.grid import masked_select_colmajor
 
 
-def save_vector_mat(path: str, data: np.ndarray):
-    """Single packed vector under variable name 'x' (Utilities.cpp:46-63)."""
+_MAT73_CLASS = {
+    np.dtype(np.float64): b"double",
+    np.dtype(np.float32): b"single",
+    np.dtype(np.int32): b"int32",
+    np.dtype(np.int64): b"int64",
+    np.dtype(np.uint8): b"uint8",
+}
+
+
+def save_mat73(path: str, variables: dict):
+    """HDF5-based MAT 7.3 writer — the container the reference produces
+    (``Mat_CreateVer(..., MAT_FT_MAT73)``, Utilities.cpp:50,69,90).
+
+    Layout per the public format: a 512-byte userblock with the MATLAB
+    text header (version 0x0200, endian 'IM'), one dataset per variable
+    stored transposed (MATLAB column-major vs HDF5 row-major) with a
+    ``MATLAB_class`` attribute. Readable by MATLAB >= 7.3 and h5py."""
+    import h5py
+
+    with h5py.File(path, "w", userblock_size=512) as f:
+        for name, arr in variables.items():
+            a = np.atleast_2d(np.asarray(arr))
+            d = f.create_dataset(name, data=a.T)
+            cls = _MAT73_CLASS.get(a.dtype)
+            if cls is None:
+                raise TypeError(f"unsupported MAT 7.3 dtype: {a.dtype}")
+            d.attrs.create("MATLAB_class", np.bytes_(cls))
+    import time as _time
+
+    text = ("MATLAB 7.3 MAT-file, Platform: posix, Created on: "
+            + _time.strftime("%a %b %d %H:%M:%S %Y")
+            + " HDF5 schema 1.00 .").encode()[:116]
+    header = text.ljust(116, b" ") + b"\x00" * 8 + b"\x00\x02" + b"IM"
+    with open(path, "r+b") as f:
+        f.write(header.ljust(512, b"\x00"))
+
+
+def load_mat_any(path: str) -> dict:
+    """Read a MAT file of either container (v5 via scipy, 7.3 via h5py),
+    returning MATLAB-shaped (column-major-equivalent) arrays."""
     import scipy.io as sio
 
-    sio.savemat(path, {"x": np.asarray(data).reshape(-1, 1)})
+    try:
+        m = sio.loadmat(path)
+        return {k: v for k, v in m.items() if not k.startswith("__")}
+    except NotImplementedError:
+        import h5py
+
+        out = {}
+        with h5py.File(path, "r") as f:
+            for k in f.keys():
+                out[k] = np.asarray(f[k]).T
+        return out
 
 
-def save_sparse_mat(path: str, ii, jj, kk, rows: int, cols: int):
+def save_vector_mat(path: str, data: np.ndarray, version: str = "7.3"):
+    """Single packed vector under variable name 'x' (Utilities.cpp:46-63).
+    Default container is MAT 7.3, matching the reference; version='5'
+    writes the scipy v5 container (2 GB variable cap)."""
+    x = np.asarray(data).reshape(-1, 1)
+    if version == "7.3":
+        save_mat73(path, {"x": x})
+        return
+    import scipy.io as sio
+
+    sio.savemat(path, {"x": x})
+
+
+def save_sparse_mat(path: str, ii, jj, kk, rows: int, cols: int,
+                    version: str = "7.3"):
     """COO triplets + dims, the reference's write_MAT_sparse layout
     (Utilities.cpp:85-122): int32 ``ii``/``jj`` (0-based, as stored on
     device), float32 ``kk``, scalar ``rows``/``cols``. MATLAB-diffable via
     ``sparse(ii+1, jj+1, kk, rows, cols)``."""
-    import scipy.io as sio
-
-    sio.savemat(path, {
+    variables = {
         "ii": np.asarray(ii, np.int32).reshape(-1, 1),
         "jj": np.asarray(jj, np.int32).reshape(-1, 1),
         "kk": np.asarray(kk, np.float32).reshape(-1, 1),
         "rows": np.int32(rows),
         "cols": np.int32(cols),
-    })
+    }
+    if version == "7.3":
+        save_mat73(path, variables)
+        return
+    import scipy.io as sio
+
+    sio.savemat(path, variables)
 
 
-def dump_preprocessing(dirpath: str, zs, z, mask):
+def _mat_version(fmt: str) -> str:
+    return "5" if fmt == "mat5" else "7.3"
+
+
+def dump_preprocessing(dirpath: str, zs, z, mask, fmt: str = "mat"):
     """``zs_init.mat`` (full LR grid, SRPS.cu:143) and ``z_init.mat``
     (masked HR initial depth, SRPS.cu:250) — the reference's verification
     channel for the preprocessing chain."""
     os.makedirs(dirpath, exist_ok=True)
+    v = _mat_version(fmt)
     save_vector_mat(os.path.join(dirpath, "zs_init.mat"),
-                    np.asarray(zs).T.ravel())  # column-major device layout
+                    np.asarray(zs).T.ravel(), version=v)  # colmajor layout
     save_vector_mat(os.path.join(dirpath, "z_init.mat"),
-                    masked_select_colmajor(np.asarray(z), np.asarray(mask)))
+                    masked_select_colmajor(np.asarray(z), np.asarray(mask)),
+                    version=v)
 
 
 def dump_state(dirpath: str, state, mask, fmt: str = "mat", tag: str = ""):
-    """Dump s/rho/z/N with the reference's packing (column-major masked)."""
+    """Dump s/rho/z/N with the reference's packing (column-major masked).
+    fmt: 'mat' = MAT 7.3 (the reference's container), 'mat5' = scipy v5,
+    'npz'."""
     os.makedirs(dirpath, exist_ok=True)
     mask = np.asarray(mask)
     z = masked_select_colmajor(np.asarray(state.z), mask)
@@ -64,13 +138,17 @@ def dump_state(dirpath: str, state, mask, fmt: str = "mat", tag: str = ""):
         [masked_select_colmajor(np.asarray(k), mask) for k in np.asarray(state.N)]
     )
     s = np.asarray(state.s)
-    if fmt == "mat":
+    if fmt in ("mat", "mat5"):
+        v = _mat_version(fmt)
         # Reference flattens s as (n, c, 4) row-major contiguous
         # (d_s layout: image-major, then channel, then harmonic).
-        save_vector_mat(os.path.join(dirpath, f"s{tag}.mat"), s.reshape(-1))
-        save_vector_mat(os.path.join(dirpath, f"rho{tag}.mat"), rho.reshape(-1))
-        save_vector_mat(os.path.join(dirpath, f"z{tag}.mat"), z)
-        save_vector_mat(os.path.join(dirpath, f"N{tag}.mat"), N.reshape(-1))
+        save_vector_mat(os.path.join(dirpath, f"s{tag}.mat"), s.reshape(-1),
+                        version=v)
+        save_vector_mat(os.path.join(dirpath, f"rho{tag}.mat"),
+                        rho.reshape(-1), version=v)
+        save_vector_mat(os.path.join(dirpath, f"z{tag}.mat"), z, version=v)
+        save_vector_mat(os.path.join(dirpath, f"N{tag}.mat"), N.reshape(-1),
+                        version=v)
     else:
         np.savez(
             os.path.join(dirpath, f"state{tag}.npz"), s=s, rho=rho, z=z, N=N

@@ -113,6 +113,11 @@ def _jit_solve_fused(state, prob, sf, cfg):
     return srps.solve_fused(state, prob, sf, cfg)
 
 
+@partial(jax.jit, static_argnames=("sf", "cfg"))
+def _jit_solve_fused_traced(state, prob, sf, cfg):
+    return srps.solve_fused_traced(state, prob, sf, cfg)
+
+
 def solve(
     data: ProblemData,
     cfg: SolverConfig = SolverConfig(),
@@ -139,10 +144,11 @@ def _solve_inner(data, cfg, rt, verbose):
     prob, state, zs = prepare(data, cfg, return_zs=True)
     sf = int(data.sf)
 
-    if rt.dump_iterations and rt.dump_format == "mat":
+    if rt.dump_iterations and rt.dump_format in ("mat", "mat5"):
         # Preprocessing goldens (SRPS.cu:143, 250).
         writers.dump_preprocessing(rt.dump_dir, np.asarray(zs),
-                                   np.asarray(state.z), np.asarray(prob.mask))
+                                   np.asarray(state.z), np.asarray(prob.mask),
+                                   fmt=rt.dump_format)
     if rt.dump_operators:
         from ..io.sparse_dump import dump_operators
 
@@ -172,8 +178,16 @@ def _solve_inner(data, cfg, rt, verbose):
                                     np.asarray(prob.mask), tag="_init")
 
     if rt.fused_outer_loop:
+        per_iter_dumps = rt.dump_iterations or rt.save_visualizations
         t = Timer().start()
-        final, trace = _jit_solve_fused(state, prob, sf, cfg)
+        if per_iter_dumps:
+            # Trace-carrying variant: the reference dumps s/rho/z/N EVERY
+            # outer iteration (SRPS.cu:330-333); the traces let fused mode
+            # reproduce that file-for-file after the on-device solve.
+            final, trace, straces = _jit_solve_fused_traced(
+                state, prob, sf, cfg)
+        else:
+            final, trace = _jit_solve_fused(state, prob, sf, cfg)
         dt = t.end(final.z)
         trace = np.asarray(trace)
         n_it = int(final.iteration)
@@ -183,6 +197,27 @@ def _solve_inner(data, cfg, rt, verbose):
         if verbose:
             print(f"fused solve: {n_it} iterations in {dt:.3f}s, "
                   f"final energy {float(final.energy):.3f}")
+        if per_iter_dumps:
+            straces = {k: np.asarray(v) for k, v in straces.items()}
+            mask = np.asarray(prob.mask)
+            for i in range(n_it):
+                st_i = srps.SRPSState(
+                    z=straces["z"][i], rho=straces["rho"][i],
+                    s=straces["s"][i], N=straces["N"][i],
+                    dz=straces["dz"][i],
+                    energy=trace[i],
+                    last_energy=trace[i - 1] if i else np.float32(np.nan),
+                    iteration=np.int32(i + 1), cg_iters=np.int32(0))
+                if rt.dump_iterations:
+                    # Untagged names each iteration (reference overwrite
+                    # behaviour) + resumable checkpoint.
+                    writers.dump_state(rt.dump_dir, st_i, mask,
+                                       fmt=rt.dump_format)
+                    writers.save_checkpoint(
+                        f"{rt.dump_dir}/checkpoint.npz", st_i, i + 1)
+                if rt.save_visualizations:
+                    writers.save_visualizations(rt.dump_dir, st_i, mask,
+                                                tag=f"_{i + 1:02d}")
         _write_outputs(final, prob, rt, metrics)
         return final, metrics
 

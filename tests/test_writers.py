@@ -50,11 +50,9 @@ class TestSparseDump:
         assert np.abs(KT - KT_o).max() < 1e-7
 
     def test_save_sparse_mat_roundtrip(self, tmp_path):
-        import scipy.io as sio
-
         p = str(tmp_path / "op.mat")
         writers.save_sparse_mat(p, [0, 1, 2], [2, 0, 1], [1.0, -1.0, 0.5], 3, 3)
-        d = sio.loadmat(p)
+        d = writers.load_mat_any(p)
         assert d["ii"].dtype == np.int32 and d["kk"].dtype == np.float32
         np.testing.assert_array_equal(d["ii"].ravel(), [0, 1, 2])
         np.testing.assert_array_equal(d["jj"].ravel(), [2, 0, 1])
@@ -83,15 +81,70 @@ class TestBoneColormap:
 
 class TestPreprocessingDumps:
     def test_zs_and_z_init(self, rng, tmp_path):
-        import scipy.io as sio
-
         h, w, sf = 16, 12, 2
         mask = random_mask(rng, h, w)
         zs = rng.random((h // sf, w // sf)).astype(np.float32)
         z = rng.random((h, w)).astype(np.float32) * mask
         writers.dump_preprocessing(str(tmp_path), zs, z, mask)
-        zs_back = sio.loadmat(str(tmp_path / "zs_init.mat"))["x"].ravel()
+        zs_back = writers.load_mat_any(str(tmp_path / "zs_init.mat"))["x"].ravel()
         np.testing.assert_allclose(zs_back, zs.T.ravel())  # column-major
-        z_back = sio.loadmat(str(tmp_path / "z_init.mat"))["x"].ravel()
+        z_back = writers.load_mat_any(str(tmp_path / "z_init.mat"))["x"].ravel()
         assert z_back.size == int((mask != 0).sum())
         np.testing.assert_allclose(z_back, z.T[mask.T != 0])
+
+
+class TestMat73Container:
+    """The reference writes HDF5-based MAT 7.3 (Mat_CreateVer MAT73,
+    Utilities.cpp:50,69,90); the default dump container must match."""
+
+    def test_userblock_header(self, tmp_path):
+        p = str(tmp_path / "x.mat")
+        writers.save_vector_mat(p, np.arange(5, dtype=np.float32))
+        raw = open(p, "rb").read(512)
+        assert raw.startswith(b"MATLAB 7.3 MAT-file")
+        assert raw[124:126] == b"\x00\x02"  # version 0x0200
+        assert raw[126:128] == b"IM"        # little-endian marker
+        # and the payload is a real HDF5 file at the userblock offset
+        import h5py
+
+        with h5py.File(p, "r") as f:
+            assert f["x"].attrs["MATLAB_class"] == b"single"
+
+    def test_vector_roundtrip_h5py(self, tmp_path):
+        p = str(tmp_path / "v.mat")
+        v = np.linspace(0, 1, 7).astype(np.float64)
+        writers.save_vector_mat(p, v)
+        back = writers.load_mat_any(p)["x"]
+        assert back.shape == (7, 1)  # MATLAB column vector
+        np.testing.assert_allclose(back.ravel(), v)
+
+    def test_mat5_opt_in_matches(self, tmp_path):
+        v = np.arange(6, dtype=np.float32)
+        p73 = str(tmp_path / "a.mat")
+        p5 = str(tmp_path / "b.mat")
+        writers.save_vector_mat(p73, v)
+        writers.save_vector_mat(p5, v, version="5")
+        import scipy.io as sio
+
+        with pytest.raises(NotImplementedError):
+            sio.loadmat(p73)  # scipy cannot read 7.3 - proves container
+        a = writers.load_mat_any(p73)["x"]
+        b = writers.load_mat_any(p5)["x"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_dump_state_mat73(self, rng, tmp_path):
+        from srmeetsps_cuda_tpu.models.srps import SRPSState
+
+        h, w, c = 8, 6, 3
+        mask = random_mask(rng, h, w)
+        st = SRPSState(
+            z=rng.random((h, w)).astype(np.float32) * mask,
+            rho=rng.random((c, h, w)).astype(np.float32),
+            s=rng.random((2, c, 4)).astype(np.float32),
+            N=rng.random((4, h, w)).astype(np.float32),
+            dz=rng.random((h, w)).astype(np.float32),
+            energy=np.float32(1.0), last_energy=np.float32(2.0),
+            iteration=np.int32(1), cg_iters=np.int32(5))
+        writers.dump_state(str(tmp_path), st, mask, fmt="mat")
+        z = writers.load_mat_any(str(tmp_path / "z.mat"))["x"]
+        assert z.size == int((np.asarray(mask) != 0).sum())

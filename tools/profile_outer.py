@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import sys
 import time
+sys.stdout.reconfigure(line_buffering=True)
 from functools import partial
 
 import jax
@@ -32,7 +33,7 @@ from srmeetsps_cuda_tpu.models import srps  # noqa: E402
 from srmeetsps_cuda_tpu.runtime.solver import prepare  # noqa: E402
 
 
-def marginal(f, n_lo=2, n_hi=12, reps=5):
+def marginal(f, n_lo=1, n_hi=4, reps=3):
     out = {}
     for n in (n_lo, n_hi):
         np.asarray(jnp.sum(f(n)))  # compile + warm
@@ -95,8 +96,8 @@ def main():
         return lax.fori_loop(0, n, body, z)
 
     f_cg = jax.jit(cg_loop, static_argnums=(0, 2))
-    s100 = marginal(lambda n: f_cg(n, st.z, 100))
-    s25 = marginal(lambda n: f_cg(n, st.z, 25))
+    s100 = marginal(lambda n: f_cg(n, st.z, 100), n_lo=1, n_hi=3)
+    s25 = marginal(lambda n: f_cg(n, st.z, 25), n_lo=1, n_hi=3)
     print(f"kernel chained      {(s100 - s25) / 75 * 1e6:8.1f} us/cg-iter "
           f"(marginal 25->100 cap, launch+pack excluded)")
     print(f"kernel launch+pack  {(s25 - 25 * (s100 - s25) / 75) * 1e3:8.3f} "
