@@ -123,6 +123,66 @@ def _timed_solve(data, cfg, metric):
     }))
 
 
+def _crop_data(data, h, w):
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.io.image_loader import ProblemData
+
+    sf = int(data.sf)
+    return ProblemData(
+        I=np.asarray(data.I)[:, :, :h, :w], K=data.K,
+        mask=np.asarray(data.mask)[:h, :w], sf=data.sf,
+        z0=np.asarray(data.z0)[:, :h // sf, :w // sf])
+
+
+def bench_batched_mixed(B: int = 4):
+    """Mixed-geometry batched serving (VERDICT r2 item 2): B objects with
+    DIFFERENT grid sizes pad to a common grid (post-preprocess, outside
+    their masks) and solve as one lane-batched launch. Invoke with
+    `python bench.py batched-mixed [B]`."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.config import SolverConfig
+    from srmeetsps_cuda_tpu.parallel import batched
+    from srmeetsps_cuda_tpu.runtime.solver import prepare
+
+    ds = find_dataset()
+    if ds:
+        from srmeetsps_cuda_tpu.io.image_loader import load_image_dataset
+
+        base = load_image_dataset(ds)
+    else:
+        base = synthetic_dataset()
+    sizes = [(960, 1280), (912, 1216), (896, 1152), (864, 1088)]
+    datas = [_crop_data(base, *sizes[b % len(sizes)]) for b in range(B)]
+    H = max(h for h, _ in sizes[:B])
+    W = max(w for _, w in sizes[:B])
+    cfg = SolverConfig(use_pallas=True)
+    pairs = [prepare(d, cfg, pad_to=(H, W)) for d in datas]
+    prob_b = batched.stack_problems([p for p, _ in pairs])
+    st_b = batched.stack_states([s for _, s in pairs])
+    sf = int(base.sf)
+    final, trace = batched.solve_batched(st_b, prob_b, sf, cfg)
+    float(np.asarray(jnp.sum(final.z)))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, trace = batched.solve_batched(st_b, prob_b, sf, cfg)
+        float(np.asarray(jnp.sum(final.z)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": f"mitten_sf2_batched{B}_mixed_geometry",
+        "value": round(B / dt, 4),
+        "unit": "solves/sec",
+        "vs_baseline": round(BASELINE_SECONDS / (dt / B), 3),
+        "seconds_per_batch": round(dt, 4),
+        "sizes": sizes[:B],
+        "iterations": np.asarray(final.iteration).tolist(),
+    }))
+
+
 def bench_sf4():
     """BASELINE config 3: SF=4 upscaling (Mitten depth further decimated).
     Invoke with `python bench.py sf4`."""
@@ -160,6 +220,71 @@ def bench_4k():
 
     data = synthetic_dataset(h=2176, w=3840, sf=2, n=8)
     _timed_solve(data, SolverConfig(use_pallas=True), "4k_sf2_e2e_solve")
+
+
+def accuracy_metrics():
+    """Accuracy north-star for the bench line (VERDICT r2 item 7): solve
+    an exactly-consistent synthetic fixture (images rendered with the
+    solver's own masked-stencil normals from a known surface, high-freq
+    detail invisible to the bicubic init) and report depth RMSE and mean
+    normal angular error vs ground truth. A silent numerical regression
+    that preserves the Mitten energy scale would still flip
+    ``accuracy_ok`` here. Mirrors tests/test_e2e.py::exact_consistency_data
+    (kept inline: importing the test package would pin jax to CPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srmeetsps_cuda_tpu.config import RuntimeConfig, SolverConfig
+    from srmeetsps_cuda_tpu.io.image_loader import ProblemData
+    from srmeetsps_cuda_tpu.ops import gradients as gradops
+    from srmeetsps_cuda_tpu.ops.grid import meshgrid_camera
+    from srmeetsps_cuda_tpu.ops.normals import normals_from_depth
+    from srmeetsps_cuda_tpu.runtime.solver import prepare, solve
+
+    rng = np.random.default_rng(42)
+    h, w, sf, n, c = 48, 32, 2, 6, 3
+    yy0, xx0 = np.mgrid[0:h, 0:w]
+    z_true = (80 + 6 * np.sin(xx0 / 5.0) + 5 * np.cos(yy0 / 6.0)
+              + 1.5 * np.sin(2.4 * xx0) * np.cos(2.2 * yy0)
+              ).astype(np.float32)
+    yy2, xx2 = np.mgrid[0:h, 0:w]
+    mask = (((yy2 - h / 2) ** 2 + (xx2 - w / 2) ** 2)
+            < (0.45 * min(h, w)) ** 2).astype(np.float32)
+    fx = fy = 400.0
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    gm = gradops.GradientMasks.from_mask(jnp.asarray(mask))
+    zt = jnp.asarray(z_true * mask)
+    zx, zy = gradops.grad_x(zt, gm), gradops.grad_y(zt, gm)
+    xx, yy = meshgrid_camera(h, w, cx, cy)
+    N_true, _ = normals_from_depth(zt, zx, zy, xx * mask, yy * mask,
+                                   jnp.asarray(mask), fx, fy)
+    N_true = np.asarray(N_true)
+    rho_true = (0.4 + 0.3 * rng.random((c, 1, 1))).astype(np.float32)
+    I = np.empty((n, c, h, w), np.float32)
+    for i in range(n):
+        s = np.array([0.2, 0.2, -0.9, 0.3]) + 0.2 * rng.standard_normal(4)
+        shade = np.einsum("k,khw->hw", s.astype(np.float32), N_true)
+        I[i] = (rho_true * shade[None]) * mask
+    z0 = np.stack([
+        z_true[::sf, ::sf] + 1.0 * rng.standard_normal((h // sf, w // sf))
+        for _ in range(n)]).astype(np.float32)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    data = ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
+
+    cfg = SolverConfig(inpaint_iters=64)
+    final, _ = solve(data, cfg, RuntimeConfig(), verbose=False)
+    m = mask != 0
+    rmse = float(np.sqrt(np.mean((np.asarray(final.z) - z_true)[m] ** 2)))
+    N = np.asarray(final.N)
+    dot = np.clip((N[:3] * N_true[:3]).sum(0), -1, 1)
+    err_deg = float(np.degrees(np.arccos(dot[m])).mean())
+    return {
+        "rmse": round(rmse, 5),
+        "normals_err_deg": round(err_deg, 3),
+        # Measured healthy range: ~3.7-10.6 deg (init is ~53 deg); 15 is
+        # the same guarded threshold the e2e test enforces.
+        "accuracy_ok": bool(err_deg < 15.0),
+    }
 
 
 def device_metrics(prob, state, sf, cfg):
@@ -288,6 +413,18 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    # Sustained serving rate: N back-to-back solves with only the LAST
+    # forced to the host — JAX's async dispatch overlaps the per-call
+    # tunnel latency with device work, so this is the resident-program
+    # throughput a serve loop sees (vs the dispatch-laden single solve).
+    n_s = 8
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_s):
+        last, _ = _jit_solve_fused(state0, prob, sf, cfg)
+    float(np.asarray(jnp.sum(last.z)))
+    dt_sus = (time.perf_counter() - t0) / n_s
+
     solves_per_sec = 1.0 / dt
     result = {
         "metric": "mitten_sf2_e2e_solve",
@@ -296,6 +433,7 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / dt, 3),
         "seconds_per_solve": round(dt, 4),
         "seconds_per_solve_mean": round(sum(times) / runs, 4),
+        "sustained_solves_per_sec": round(1.0 / dt_sus, 4),
         "iterations": int(final.iteration),
         "final_energy": float(final.energy),
         "device": str(jax.devices()[0]),
@@ -312,6 +450,10 @@ def main():
             result.update(device_metrics(prob, state0, sf, cfg))
     except Exception as e:  # pragma: no cover - defensive
         result["device_metrics_error"] = str(e)[:200]
+    try:
+        result.update(accuracy_metrics())
+    except Exception as e:  # pragma: no cover - defensive
+        result["accuracy_error"] = str(e)[:200]
     print(json.dumps(result))
 
 
@@ -319,6 +461,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "batched":
         bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif mode == "batched-mixed":
+        bench_batched_mixed(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif mode == "batched-bf16":
         bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4,
                       image_dtype="bfloat16")

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sharded", type=int, default=0, metavar="N",
                    help="grid-shard the solve over N devices (1D row-band "
                    "mesh, manual halo-exchange CG; 0 = off)")
+    p.add_argument("--serve", action="store_true",
+                   help="resident-program serving loop: read one dataset "
+                        "location per line from stdin, keep the compiled "
+                        "solve live across requests (same-geometry "
+                        "requests skip recompilation), print one JSON "
+                        "result line per request ('quit' to stop)")
     p.add_argument("--nan-check", action="store_true",
                    help="raise on the first NaN-producing op (jax_debug_nans)")
     p.add_argument("--profile-dir", default=None,
@@ -89,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if not args.dsloc:
+    if not args.dsloc and not args.serve:
         parser.print_help()
         return 0
 
@@ -107,13 +113,6 @@ def main(argv=None) -> int:
         from .io.image_loader import load_image_dataset
 
         return load_image_dataset(loc)
-
-    # Comma-separated --dsloc = batched multi-object serving: all objects
-    # solve in lockstep, the depth CG of all lanes as ONE lane-batched
-    # Pallas launch per outer iteration (parallel/batched.py).
-    locs = [s for s in args.dsloc.split(",") if s]
-    datas = [_load(loc) for loc in locs]
-    data = datas[0]
 
     cfg = SolverConfig(
         tolerance=args.tolerance,
@@ -139,6 +138,16 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir,
     )
 
+    if args.serve:
+        return _run_serve(_load, cfg, rt)
+
+    # Comma-separated --dsloc = batched multi-object serving: all objects
+    # solve in lockstep, the depth CG of all lanes as ONE lane-batched
+    # Pallas launch per outer iteration (parallel/batched.py).
+    locs = [s for s in args.dsloc.split(",") if s]
+    datas = [_load(loc) for loc in locs]
+    data = datas[0]
+
     if len(datas) > 1:
         _run_batched(datas, locs, cfg, rt)
     elif args.sharded:
@@ -148,6 +157,74 @@ def main(argv=None) -> int:
 
         solve(data, cfg, rt, verbose=True)
     print("Done!")
+    return 0
+
+
+def _run_serve(load_fn, cfg, rt) -> int:
+    """Resident-program serving loop (VERDICT r2 item 2): one dataset
+    location per stdin line; the jitted fused solve stays live across
+    requests, so every same-geometry request skips compilation entirely
+    (the reference is one-solve-per-process, Main.cpp:9-44 — this removes
+    that ceiling). A comma-separated line runs a lane-batched solve
+    (mixed geometries auto-pad to a common grid). Emits one JSON line per
+    request; 'quit'/'exit' or EOF stops."""
+    import json
+    import sys
+    import time
+
+    import numpy as np
+
+    from .runtime.solver import Timer, _jit_solve_fused, prepare
+
+    print(json.dumps({"serving": True, "pallas": cfg.use_pallas}),
+          flush=True)
+    for line in sys.stdin:
+        req = line.strip()
+        if not req:
+            continue
+        if req in ("quit", "exit"):
+            break
+        try:
+            t0 = time.perf_counter()
+            locs = [s for s in req.split(",") if s]
+            datas = [load_fn(loc) for loc in locs]
+            sf = int(datas[0].sf)
+            if len(datas) == 1:
+                prob, st = prepare(datas[0], cfg)
+                t = Timer().start()
+                final, trace = _jit_solve_fused(st, prob, sf, cfg)
+                dt_solve = t.end(final.z)
+                out = {"dsloc": req, "iterations": int(final.iteration),
+                       "final_energy": float(final.energy)}
+            else:
+                from .models import srps  # noqa: F401 (import check)
+                from .parallel import batched
+
+                shapes = [tuple(d.mask.shape) for d in datas]
+                pad_to = None
+                if len(set(shapes)) != 1:
+                    H = max(h for h, _ in shapes)
+                    W = max(w for _, w in shapes)
+                    H += (-H) % sf
+                    W += (-W) % sf
+                    pad_to = (H, W)
+                pairs = [prepare(d, cfg, pad_to=pad_to) for d in datas]
+                prob_b = batched.stack_problems([p for p, _ in pairs])
+                st_b = batched.stack_states([s for _, s in pairs])
+                t = Timer().start()
+                final, trace = batched.solve_batched(st_b, prob_b, sf, cfg)
+                dt_solve = t.end(final.z)
+                tr = np.asarray(trace)
+                out = {"dsloc": req, "batch": len(datas),
+                       "iterations": [int(np.isfinite(tr[b]).sum())
+                                      for b in range(len(datas))],
+                       "final_energy": np.asarray(final.energy).tolist()}
+            out["solve_seconds"] = round(dt_solve, 4)
+            out["total_seconds"] = round(time.perf_counter() - t0, 4)
+            print(json.dumps(out), flush=True)
+        except Exception as e:  # keep serving on bad requests
+            print(json.dumps({"dsloc": req, "error": str(e)[:300]}),
+                  flush=True)
     return 0
 
 
@@ -164,19 +241,31 @@ def _run_batched(datas, locs, cfg, rt):
     from .runtime.solver import prepare
 
     sfs = {int(d.sf) for d in datas}
-    shapes = {d.mask.shape for d in datas}
     stacks = {tuple(d.I.shape[:2]) for d in datas}  # (n images, c channels)
-    if len(sfs) != 1 or len(shapes) != 1 or len(stacks) != 1:
+    if len(sfs) != 1 or len(stacks) != 1:
         raise SystemExit(
-            f"batched solve needs matching geometry: sf={sorted(sfs)}, "
-            f"shapes={sorted(shapes)}, (n,c)={sorted(stacks)}")
+            f"batched solve needs matching sf and image counts: "
+            f"sf={sorted(sfs)}, (n,c)={sorted(stacks)}")
     if rt.resume_from:
         raise SystemExit("--resume-from is not supported in batched "
                          "(comma --dsloc) mode; run objects separately")
     sf = sfs.pop()
+    shapes = [tuple(d.mask.shape) for d in datas]
+    pad_to = None
+    if len(set(shapes)) != 1:
+        # Mixed-geometry batching: zero-pad every object (post-preprocess,
+        # outside its mask) to the common grid so one lane-batched launch
+        # serves all of them.
+        H = max(h for h, _ in shapes)
+        W = max(w for _, w in shapes)
+        H += (-H) % sf
+        W += (-W) % sf
+        pad_to = (H, W)
+        print(f"mixed geometry {sorted(set(shapes))}: padding all lanes "
+              f"to {pad_to}")
     probs, states = [], []
     for d in datas:
-        pb, st = prepare(d, cfg)
+        pb, st = prepare(d, cfg, pad_to=pad_to)
         probs.append(pb)
         states.append(st)
     prob_b = batched.stack_problems(probs)
@@ -220,6 +309,14 @@ def _run_batched(datas, locs, cfg, rt):
             os.makedirs(sub, exist_ok=True)
             st_b = srps.SRPSState(*[np.asarray(x)[b] for x in final])
             mask = np.asarray(probs[b].mask)
+            if pad_to is not None:
+                # Crop the grid-shaped fields back to the object's native
+                # extent for dumps/viz (s/energy/counters are not grids).
+                h0, w0 = shapes[b]
+                crop = lambda a: np.asarray(a)[..., :h0, :w0]
+                st_b = st_b._replace(z=crop(st_b.z), rho=crop(st_b.rho),
+                                     N=crop(st_b.N), dz=crop(st_b.dz))
+                mask = mask[:h0, :w0]
             if rt.dump_iterations:
                 writers.dump_state(sub, st_b, mask, fmt=rt.dump_format,
                                    tag="_final")

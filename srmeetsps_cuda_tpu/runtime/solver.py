@@ -54,15 +54,35 @@ class Timer:
 
 
 def prepare(data: ProblemData, cfg: SolverConfig = SolverConfig(),
-            return_zs: bool = False):
+            return_zs: bool = False, pad_to=None):
     """Device-side setup: preprocessing + problem/state construction
-    (SRPS.cu:100-270)."""
+    (SRPS.cu:100-270).
+
+    ``pad_to=(H, W)``: zero-pad to a common grid AFTER the native-size
+    preprocessing (mixed-geometry batching: different-sized objects share
+    one lane-batched launch). Padding happens post-preprocess so the
+    smoothing/inpainting chain never sees the pad, and all padded pixels
+    are outside the mask — the masked-exact operators make the solver
+    trajectory identical to the solo solve up to reduction order."""
+    import jax.numpy as jnp
+
     h, w = data.mask.shape
     zs, z_init = preprocess_depth(data.z0, h, w, cfg)
+    mask, I = data.mask, data.I
+    if pad_to is not None:
+        H, W = pad_to
+        sf = int(data.sf)
+        if H % sf or W % sf or H < h or W < w:
+            raise ValueError(f"bad pad_to {pad_to} for ({h},{w}), sf={sf}")
+        ph, pw = H - h, W - w
+        mask = jnp.pad(jnp.asarray(mask), ((0, ph), (0, pw)))
+        I = jnp.pad(jnp.asarray(I), ((0, 0), (0, 0), (0, ph), (0, pw)))
+        zs = jnp.pad(jnp.asarray(zs), ((0, ph // sf), (0, pw // sf)))
+        z_init = jnp.pad(jnp.asarray(z_init), ((0, ph), (0, pw)))
     # build_problem masks z0s with the LR mask itself (SRPS.cu:236-239)
     # and precomputes the z0s-derived invariants (z0t = KT^T z0s) — pass
     # the real zs; a later _replace(z0s=...) would leave z0t stale.
-    prob = srps.build_problem(data.I, data.mask, data.K, data.sf, zs,
+    prob = srps.build_problem(I, mask, data.K, data.sf, zs,
                               image_dtype=cfg.image_dtype)
     state = srps.init_state(prob, z_init)
     if return_zs:

@@ -108,3 +108,40 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out.z)
         assert np.isfinite(float(out.energy))
+
+
+class TestMixedGeometryPadding:
+    def test_padded_solve_matches_native(self, rng):
+        """prepare(pad_to=...) zero-pads outside the mask AFTER
+        preprocessing, so the solver trajectory must match the native-grid
+        solve (masked-exact operators; only reduction order differs)."""
+        import jax.numpy as jnp
+
+        from conftest import random_mask
+        from srmeetsps_cuda_tpu.config import SolverConfig
+        from srmeetsps_cuda_tpu.io.image_loader import ProblemData
+        from srmeetsps_cuda_tpu.models import srps
+        from srmeetsps_cuda_tpu.runtime.solver import prepare
+
+        h, w, sf, n, c = 24, 16, 2, 3, 3
+        mask = random_mask(rng, h, w)
+        I = rng.random((n, c, h, w)).astype(np.float32)
+        K = np.array([[200.0, 0, w / 2 - 0.5], [0, 200.0, h / 2 - 0.5],
+                      [0, 0, 1]], np.float32)
+        z0 = np.stack([
+            (rng.random((h // sf, w // sf)) + 1.0).astype(np.float32) * 50
+            for _ in range(n)])
+        data = ProblemData(I=I, K=K, mask=mask, sf=sf, z0=z0)
+        cfg = SolverConfig(inpaint_iters=32, cg_max_iter=10,
+                           max_iterations=2)
+        prob_a, st_a = prepare(data, cfg)
+        prob_b, st_b = prepare(data, cfg, pad_to=(40, 32))
+        fa, tra = srps.solve_fused(st_a, prob_a, sf, cfg)
+        fb, trb = srps.solve_fused(st_b, prob_b, sf, cfg)
+        assert int(fa.iteration) == int(fb.iteration)
+        np.testing.assert_allclose(np.asarray(trb)[:int(fa.iteration)],
+                                   np.asarray(tra)[:int(fa.iteration)],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(fb.z)[:h, :w],
+                                   np.asarray(fa.z), rtol=1e-3, atol=1e-3)
+        assert float(np.abs(np.asarray(fb.z)[h:]).max()) == 0.0

@@ -161,3 +161,46 @@ def test_batched_pipelined_on_hw(problem):
         stack2(ktw), sf=sf, lam=1.0, tol=1e-4, max_iter=8)
     for b in range(2):
         _check(xb[b], kb[b], res)
+
+
+def test_jacobi_pipelined_on_hw(problem):
+    from srmeetsps_cuda_tpu.models import srps
+    from srmeetsps_cuda_tpu.ops import grid as gridops
+    from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+    from srmeetsps_cuda_tpu.solve.pallas_cg import make_ktw
+    from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+        cg_pallas_pipelined_fromop)
+
+    prob, st, op, sf = problem
+    mv = functools.partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                          lam=1.0)
+    rhs = srps.depth_rhs(op, prob, sf, 1.0)
+    diag = srps.depth_diag(op, prob, sf, 1.0)
+    res = conjugate_gradient(mv, rhs - mv(st.z), st.z, tol=1e-4,
+                             max_iter=8, precond=lambda r: r / diag)
+    ktw = make_ktw(prob.mask, prob.masks, sf)
+    z0t = gridops.resample_masked_t(prob.z0s, prob.mask, prob.masks, sf)
+    x, k, _ = cg_pallas_pipelined_fromop(
+        st.z, op, prob.gm, ktw, z0t, sf=sf, lam=1.0, tol=1e-4, max_iter=8,
+        invd=1.0 / diag)
+    _check(x, k, res)
+
+
+@pytest.mark.parametrize("variant", ["std", "cgs"])
+def test_shard_pallas_kernels_on_hw(problem, variant):
+    """Mosaic-compile the gen-2 per-shard kernels (prologue + sweep /
+    phase pair) on the chip via a 1-device mesh, tail-band geometry
+    included (h=64, th=64 -> single band; the tail path is covered by the
+    interpret suite)."""
+    import jax
+    from jax.sharding import Mesh
+    from srmeetsps_cuda_tpu.parallel import shard_pallas
+
+    prob, st, op, sf = problem
+    _, res = _ref(prob, st, op, sf, 8)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    fn = (shard_pallas.cg_sharded_pallas_cgs if variant == "cgs"
+          else shard_pallas.cg_sharded_pallas_std)
+    x, k, _ = fn(mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+                 prob.z0t, sf=sf, lam=1.0, tol=1e-4, max_iter=8)
+    _check(x, k, res, rtol=5e-3)
