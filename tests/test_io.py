@@ -118,9 +118,7 @@ class TestWriters:
         assert d["z"].shape == (npix,)
         assert d["rho"].shape == (p["c"], npix)
         writers.dump_state(str(tmp_path), st, p["mask"], fmt="mat", tag="_t")
-        import scipy.io as sio
-
-        m = sio.loadmat(tmp_path / "z_t.mat")
+        m = writers.load_mat_any(tmp_path / "z_t.mat")
         assert m["x"].shape == (npix, 1)
 
         writers.save_checkpoint(str(tmp_path / "ck.npz"), st, 3)
