@@ -50,12 +50,19 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     # precomputed probs.ktw / probs.z0t fields avoid the per-iteration
     # upsample relayouts (same as the single-problem path).
     h, w = states.z.shape[-2:]
-    cg_fn = cg_pallas_pipelined_fromop_batched
-    if (cfg.pallas_cg_variant == "cgs" and _cgs.supported_cgs(h, w, sf)):
-        cg_fn = _cgs.cg_pallas_cgs_batched
-    x, cg_iters, _ = cg_fn(
-        states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
-        tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+    if cfg.jacobi_preconditioner:
+        invd = 1.0 / jax.vmap(
+            lambda o, p: srps.depth_diag(o, p, sf, lam))(op, probs)
+        x, cg_iters, _ = cg_pallas_pipelined_fromop_batched(
+            states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
+    else:
+        cg_fn = cg_pallas_pipelined_fromop_batched
+        if (cfg.pallas_cg_variant == "cgs" and _cgs.supported_cgs(h, w, sf)):
+            cg_fn = _cgs.cg_pallas_cgs_batched
+        x, cg_iters, _ = cg_fn(
+            states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
     z = x * probs.mask
     energy = jax.vmap(lambda zz, o, p: srps.depth_energy(zz, o, p, sf, lam)
                       )(z, op, probs)
@@ -88,8 +95,14 @@ def solve_batched(
     # Same VMEM/width gate estimate_depth applies: unsupported grids (e.g.
     # 1920-wide at the pipelined kernel's double-buffered footprint) fall
     # back to the vmap'ed jnp iteration instead of failing Mosaic compile.
-    if (cfg.use_pallas and not cfg.jacobi_preconditioner
-            and _pcg.supported(h, w, sf, pipelined=True)):
+    # Jacobi rides the pipelined fromop kernel (invd as a packed F row);
+    # the cgs variant has no preconditioned kernel, so jacobi+cgs falls
+    # back to the vmapped jnp PCG.
+    if (cfg.use_pallas
+            and not (cfg.jacobi_preconditioner
+                     and cfg.pallas_cg_variant == "cgs")
+            and _pcg.supported(h, w, sf, pipelined=True,
+                               jacobi=cfg.jacobi_preconditioner)):
         iterate = lambda st, pb: _iteration_batched_pallas(st, pb, sf, cfg)
     else:
         iterate = jax.vmap(lambda st, pb: srps.srps_iteration(st, pb, sf, cfg))

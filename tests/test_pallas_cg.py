@@ -378,3 +378,39 @@ class TestJacobiPallasCG:
         np.testing.assert_allclose(float(ep), float(ej), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(zp), np.asarray(zj),
                                    rtol=5e-3, atol=5e-3)
+
+
+class TestBatchedJacobi:
+    def test_solve_batched_jacobi_pallas_matches_jnp_pcg(self, rng):
+        """Lane-batched Jacobi (invd packed row) tracks the vmapped jnp
+        PCG trajectory."""
+        from conftest import random_mask
+        from srmeetsps_cuda_tpu.parallel import batched
+
+        sf = 2
+        probs, states = [], []
+        for b in range(2):
+            r = np.random.default_rng(b + 20)
+            mask = random_mask(r, 32, 32)
+            I = r.random((3, 3, 32, 32)).astype(np.float32)
+            K = [[300.0, 0, 15.5], [0, 300.0, 15.5], [0, 0, 1]]
+            z0s = (r.random((16, 16)).astype(np.float32) + 0.5)
+            pb = srps.build_problem(I, mask, K, sf, z0s)
+            probs.append(pb)
+            states.append(srps.init_state(
+                pb, (r.random((32, 32)).astype(np.float32) + 0.5) * mask))
+        pb_b = batched.stack_problems(probs)
+        st_b = batched.stack_states(states)
+        cfg_j = SolverConfig(max_iterations=2, jacobi_preconditioner=True,
+                             cg_max_iter=10)
+        cfg_p = SolverConfig(max_iterations=2, jacobi_preconditioner=True,
+                             cg_max_iter=10, use_pallas=True)
+        fj, tj = batched.solve_batched(st_b, pb_b, sf, cfg_j)
+        fp, tp = batched.solve_batched(st_b, pb_b, sf, cfg_p)
+        for b in range(2):
+            nj = int(np.isfinite(np.asarray(tj)[b]).sum())
+            np_ = int(np.isfinite(np.asarray(tp)[b]).sum())
+            assert abs(nj - np_) <= 1
+            m = min(nj, np_)
+            np.testing.assert_allclose(np.asarray(tp)[b, :m],
+                                       np.asarray(tj)[b, :m], rtol=1e-2)
