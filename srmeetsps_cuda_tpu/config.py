@@ -69,6 +69,12 @@ class SolverConfig:
     # (solve/pallas_cg_cgs.py) — an opt-in perf mode whose alpha
     # recurrence reorders rounding vs standard CG.
     pallas_cg_variant: str = "pipe"
+    # Fully VMEM-resident CG kernel (solve/pallas_cg_vmem.py) for grids
+    # whose whole CG state fits on-chip VMEM (~1.4 Mpix): the entire solve
+    # is one launch with zero HBM traffic in the iteration loop. Applied
+    # automatically when supported; set False to force the streaming
+    # kernels everywhere.
+    pallas_vmem_resident: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -202,22 +202,28 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     """
     h, w = prob.mask.shape
     c, n = prob.I.shape[:2]
+    # Work in flat pixel space: retiling the 7 small inputs (rho, N) once
+    # beats retiling the 12-field product T = rho*N every iteration, and
+    # the flat forms are shared (CSE) with estimate_albedo inside the
+    # jitted outer iteration.
+    rf = rho.reshape(c, h * w)
+    Nf = N.reshape(4, h * w)
     # ATA[c,a,b] = sum_p rho_c^2 N_a N_b — ten unique masked reductions,
     # unrolled over the tiny (a, b) axes so XLA fuses them into one pass
     # over rho/N (materialising T = rho*N costs an extra 2x c x npix
     # round-trip and the "cap,cbp->cab" einsum lowers transpose-heavy).
-    R2 = rho * rho  # (c,h,w)
+    R2 = rf * rf  # (c,P)
     ata = {}
     for a in range(4):
         for b in range(a, 4):
-            ata[(a, b)] = jnp.sum(R2 * (N[a] * N[b]), axis=(1, 2))
+            ata[(a, b)] = jnp.sum(R2 * (Nf[a] * Nf[b]), axis=1)
     ATA = jnp.stack([
         jnp.stack([ata[(min(a, b), max(a, b))] for b in range(4)], axis=-1)
         for a in range(4)
     ], axis=-2)  # (c,4,4)
     # ATb[n,c,a] = <rho_c N_a, I_cn> — a c-batched (4,P)@(P,n) matmul on
     # the channel-major image layout.
-    T = (rho[:, None] * N[None, :]).reshape(c, 4, h * w)  # (c,4,P) masked
+    T = rf[:, None] * Nf[None, :]  # (c,4,P) masked, flat-native
     ATb = jnp.einsum("cap,cnp->nca", T, prob.I, precision=HI,
                      preferred_element_type=jnp.float32)  # (n,c,4)
     ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
@@ -234,20 +240,24 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
 
 
 class SMoments(NamedTuple):
-    G: jax.Array  # (c, 4, 4)   sum_i s_ic s_ic^T
-    J: jax.Array  # (c, 4, h, w) sum_i s[i,c,k] * I[i,c]
+    G: jax.Array  # (c, 4, 4)  sum_i s_ic s_ic^T
+    J: jax.Array  # (c, 4, P)  sum_i s[i,c,k] * I[i,c] — kept in the flat
+    #             pixel layout the I-contraction produces; consumers
+    #             (albedo, the B_k correlation fields) work in flat space
+    #             and only the three B_k outputs are retiled to (h, w),
+    #             12 -> 3 field relayouts per outer iteration.
 
 
 def s_moments(prob: SRPSProblem, s) -> SMoments:
-    h, w = prob.mask.shape
-    c, n = prob.I.shape[:2]
     G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
     # c-batched (4,n)@(n,P) matmul on the pre-flattened channel-major
-    # layout — one clean streaming pass over I, no relayout.
+    # layout — one clean streaming pass over I, no relayout (J stays in
+    # the flat (c,4,P) layout the matmul produces; a .reshape(c,4,h,w)
+    # here is a physical 12-field retile on TPU, ~0.45 ms/iteration).
     J = jnp.einsum(
         "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I,
         precision=HI, preferred_element_type=jnp.float32,
-    ).reshape(c, 4, h, w)
+    )
     return SMoments(G, J)
 
 
@@ -264,16 +274,21 @@ def estimate_albedo(prob: SRPSProblem, mom: SMoments, N, rho_prev) -> jax.Array:
     # num_c = sum_k N_k J_ck, den_c = sum_kl G_ckl N_k N_l — k/l are tiny
     # static axes, so unroll into elementwise sums XLA fuses into a single
     # pass (einsums with (h, w) free dims lower transpose-heavy on TPU).
+    # Computed in flat pixel space (J's native layout; Nf/rf CSE with
+    # estimate_lighting) — only the (c,P)->(c,h,w) result is retiled.
     c = mom.J.shape[0]
+    h, w = prob.mask.shape
+    Nf = N.reshape(4, h * w)
+    rf_prev = rho_prev.reshape(c, h * w)
     num = jnp.stack([
-        sum(N[k] * mom.J[i, k] for k in range(4)) for i in range(c)])
-    NN = {(k, l): N[k] * N[l] for k in range(4) for l in range(k, 4)}
+        sum(Nf[k] * mom.J[i, k] for k in range(4)) for i in range(c)])
+    NN = {(k, l): Nf[k] * Nf[l] for k in range(4) for l in range(k, 4)}
     den = jnp.stack([
         sum((1.0 if k == l else 2.0) * mom.G[i, k, l] * NN[(k, l)]
             for k in range(4) for l in range(k, 4))
         for i in range(c)])
-    rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rho_prev)
-    return rho * prob.mask
+    rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rf_prev)
+    return (rho * prob.mask.reshape(h * w)).reshape(c, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +338,7 @@ def build_depth_operator(
     # "chw,ckhw->khw") lower to transpose-heavy dotgenerals on TPU and
     # cost ~0.1 s over a Mitten solve.
     c = w1.shape[0]
+    h, w = prob.mask.shape
     A00 = sum(w2[i] * G[i, 0, 0] for i in range(c))
     A01 = sum(w2[i] * G[i, 0, 1] for i in range(c))
     A02 = sum(w2[i] * G[i, 0, 2] for i in range(c))
@@ -332,9 +348,14 @@ def build_depth_operator(
     D03 = sum(w1r[i] * G[i, 0, 3] for i in range(c))
     D13 = sum(w1r[i] * G[i, 1, 3] for i in range(c))
     D23 = sum(w1r[i] * G[i, 2, 3] for i in range(c))
-    B0 = sum(w1[i] * mom.J[i, 0] for i in range(c))
-    B1 = sum(w1[i] * mom.J[i, 1] for i in range(c))
-    B2 = sum(w1[i] * mom.J[i, 2] for i in range(c))
+    # The I-correlation fields contract against J in its flat native
+    # layout; only the three (P,) results retile back to (h, w) —
+    # 12 -> 3 per-iteration field relayouts (w1 flat is CSE'd from the
+    # albedo step's pre-retile value).
+    w1f = rho.reshape(c, h * w) / dz.reshape(h * w)
+    B0 = sum(w1f[i] * mom.J[i, 0] for i in range(c)).reshape(h, w)
+    B1 = sum(w1f[i] * mom.J[i, 1] for i in range(c)).reshape(h, w)
+    B2 = sum(w1f[i] * mom.J[i, 2] for i in range(c)).reshape(h, w)
 
     P11 = fx * fx * A00 - 2.0 * fx * xx * A02 + xx * xx * A22
     P22 = fy * fy * A11 - 2.0 * fy * yy * A12 + yy * yy * A22
@@ -346,8 +367,9 @@ def build_depth_operator(
     QB3 = B2 - D23
     QB1 = fx * (B0 - D03) - xx * QB3
     QB2 = fy * (B1 - D13) - yy * QB3
-    const = (jnp.sum(prob.SI2) - 2.0 * jnp.sum(rho * mom.J[:, 3])
-             + jnp.vdot(jnp.sum(rho * rho, axis=(1, 2)), G[:, 3, 3]))
+    rf = rho.reshape(c, h * w)
+    const = (jnp.sum(prob.SI2) - 2.0 * jnp.sum(rf * mom.J[:, 3])
+             + jnp.vdot(jnp.sum(rf * rf, axis=1), G[:, 3, 3]))
 
     return DepthOperator(P11, P12, P13, P22, P23, P33, QB1, QB2, QB3, const)
 
@@ -424,13 +446,23 @@ def estimate_depth(
     # ILU0 intent of devicecalls.cu:285-374, done TPU-right). Only the
     # pipelined fromop kernel implements it; otherwise Jacobi routes to
     # the jnp PCG (never silently a different solver trajectory).
+    from ..solve import pallas_cg_vmem as _pvm
+
+    def _vmem_ok(jacobi: bool) -> bool:
+        # Whole-solve-resident kernel: zero HBM traffic in the CG loop.
+        return (cfg.pallas_vmem_resident
+                and _pvm.supported_vmem(h, w, sf, jacobi=jacobi))
+
     if (cfg.use_pallas and cfg.jacobi_preconditioner
             and cfg.pallas_fused_loop and cfg.pallas_cg_variant != "cgs"
-            and _pcg.supported(h, w, sf, pipelined=True, jacobi=True)):
+            and (_vmem_ok(True)
+                 or _pcg.supported(h, w, sf, pipelined=True, jacobi=True))):
         from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop
 
+        cg_fromop = (_pvm.cg_pallas_vmem_fromop if _vmem_ok(True)
+                     else cg_pallas_pipelined_fromop)
         invd = 1.0 / depth_diag(op, prob, sf, lam)
-        x, iters, _ = cg_pallas_pipelined_fromop(
+        x, iters, _ = cg_fromop(
             z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
             tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
         res = CGResult(x, iters, jnp.float32(0.0))
@@ -448,10 +480,12 @@ def estimate_depth(
         use_cgs = (cfg.pallas_fused_loop and cfg.pallas_cg_variant == "cgs"
                    and _cgs.supported_cgs(h, w, sf))
         if use_cgs or (cfg.pallas_fused_loop
-                       and _pcg.supported(h, w, sf, pipelined=True)):
+                       and (_vmem_ok(False)
+                            or _pcg.supported(h, w, sf, pipelined=True))):
             # Mega-kernel with the initial residual built in-kernel — no
             # host-side rhs/matvec passes at all.
             cg_fromop = (_cgs.cg_pallas_cgs if use_cgs
+                         else _pvm.cg_pallas_vmem_fromop if _vmem_ok(False)
                          else cg_pallas_pipelined_fromop)
             x, iters, _ = cg_fromop(
                 z, op, prob.gm, ktw, prob.z0t, sf=sf, lam=lam,

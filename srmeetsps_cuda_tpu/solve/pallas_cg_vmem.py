@@ -1,0 +1,359 @@
+"""Fully VMEM-resident Pallas CG: the whole solve in one launch, zero HBM
+traffic in the iteration loop.
+
+The streaming kernels (pallas_cg_pipe) run at the DMA/VPU-latency floor:
+every CG iteration re-streams x/r/p/w and the 8 packed coefficient rows
+HBM<->VMEM band by band. But a Mitten-class grid's entire CG state fits in
+the chip's 128 MB VMEM: 5 state fields (x, r, p ping-pong, w) plus the
+8(+1 Jacobi) packed F rows at (Hp+16) x Wp f32 is ~65 MB at 1280x960. This
+kernel therefore:
+
+  * allocates the state and coefficient fields as *persistent scratch*
+    (``scratch_shapes`` lives across the whole grid, unlike run_scoped),
+  * DMAs x0 and F in ONCE (iteration-0 prologue, which also streams the
+    4 R0 rows band-by-band straight from HBM to form the initial residual
+    in-place — R0 never becomes resident),
+  * runs every CG iteration as ONE grid step (no phase split: with
+    resident data the alpha barrier is just program order), sweeping
+    statically unrolled row bands over the resident refs — pure VPU work,
+    no DMA waits, no per-band semaphore traffic,
+  * DMAs x back out in a final epilogue step.
+
+Per-iteration arithmetic, band order, and stopping semantics are identical
+to pallas_cg_pipe._kernel (same reference quirk k <= max_iter admitting one
+extra iteration, devicecalls.cu:229-279; same Jacobi rz recurrence with
+<r, r> stopping). The ping-pong p planes preserve the banded halo contract
+(band b+1 reads p_old ring rows that band b's interior write would
+otherwise have clobbered).
+
+Geometry gate: (5 + NF) resident fields + compute temporaries must fit
+the scoped-VMEM budget — Mitten yes, 1080p no (falls back to the
+streaming kernel via estimate_depth's routing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_cg as _pcg
+from .pallas_cg import (
+    RING, geometry, pad_field, unpad_field,
+)
+from .pallas_cg_fused import S_R0, S_R1, S_PW, S_RR, S_ACT, S_BETA, S_ALPHA
+from .pallas_cg_pipe import (
+    KTW, MB, IVD, S_RR2, _unpack_masks, stack_fields_packed,
+)
+from .pallas_cg import _shift, _tilesum, P11, P12, P13, P22, P23, P33
+
+# Band height for the in-VMEM compute sweeps (bounds temporary liveness;
+# bands are statically unrolled so all slicing is static).
+TH_V = 64
+
+# Scoped-VMEM budget for the resident kernel (physical VMEM is 128 MB;
+# leave headroom for Mosaic's compute temporaries and control state).
+VMEM_BUDGET = 100 << 20
+
+
+def _n_fields(jacobi: bool) -> int:
+    return 9 if jacobi else 8
+
+
+def vmem_th(h: int, w: int) -> int:
+    """Sweep band height: TH_V, shrunk for short grids (must divide hp)."""
+    hp8 = -(-h // 8) * 8
+    return min(TH_V, max(8, hp8))
+
+
+def supported_vmem(h: int, w: int, sf: int, jacobi: bool = False) -> bool:
+    """Whether the fully resident kernel fits this grid in VMEM."""
+    if not _pcg.INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if sf not in (1, 2, 4):
+        return False
+    th = vmem_th(h, w)
+    geo = geometry(h, w, th)
+    hp2, wp = geo.shape
+    resident = (5 + _n_fields(jacobi)) * hp2 * wp * 4
+    # prologue band buffer (4 R0 rows + compute temps) rides in the slack
+    tb = th + 2 * RING
+    temps = 16 * tb * wp * 4
+    return resident + temps <= VMEM_BUDGET
+
+
+def _matvec_band(x, f, lam: float, sf: int, th: int):
+    """w = M x on one ring-banded block; returns (interior w, x interior).
+
+    Identical arithmetic to pallas_cg_pipe._kernel's phase-0 body."""
+    fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+    g = fwd_x * (_shift(x, 0, 1) - x) + bwd_x * (x - _shift(x, 0, -1))
+    h = fwd_y * (_shift(x, 1, 0) - x) + bwd_y * (x - _shift(x, -1, 0))
+    t1 = f[P11] * g + f[P12] * h - f[P13] * x
+    t2 = f[P12] * g + f[P22] * h - f[P23] * x
+    t3 = f[P13] * g + f[P23] * h - f[P33] * x
+    f1 = fwd_x * t1
+    b1 = bwd_x * t1
+    dxt = _shift(f1, 0, -1) - f1 + b1 - _shift(b1, 0, 1)
+    f2 = fwd_y * t2
+    b2 = bwd_y * t2
+    dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
+    xin = x[RING:RING + th, :]
+    ktt = f[KTW, RING:RING + th, :] * _tilesum(xin, sf)
+    w = ktt + lam * (dxt + dyt - t3)[RING:RING + th, :]
+    return w, xin
+
+
+def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
+                 X_out, iters_ref, r1_ref,
+                 xv, rv, p0v, p1v, wv, fv, scal, sems,
+                 *, lam: float, sf: int, n_bands: int, th: int,
+                 jacobi: bool):
+    """Grid (B, max_iter + 3): it=0 load+prologue, it in [1, max_iter+1]
+    one full CG iteration per step, it=max_iter+2 epilogue (x out)."""
+    TH = th
+    TB = TH + 2 * RING
+    lane = pl.program_id(0)
+    it = pl.program_id(1)
+    n_it = pl.num_programs(1)
+    tol_sq = consts_ref[lane, 0]
+    max_iter = consts_ref[lane, 2]
+    pv = (p0v, p1v)
+
+    # ---------------- it == 0: load resident state + r0 prologue --------
+    @pl.when(it == 0)
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_ACT] = 1.0
+        iters_ref[lane, 0] = 0.0
+
+        cp_x = pltpu.make_async_copy(X_hbm.at[lane], xv, sems.at[0])
+        cp_f = pltpu.make_async_copy(F_hbm.at[lane], fv, sems.at[1])
+        cp_x.start()
+        cp_f.start()
+        # zero the planes the prologue/iterations assume zeroed (ring
+        # rows of p/w stay zero forever; r ring likewise)
+        zero = jnp.zeros_like(p0v)
+        p0v[...] = zero
+        p1v[...] = zero
+        wv[...] = zero
+        rv[...] = zero
+        cp_x.wait()
+        cp_f.wait()
+
+        def body(q_buf, qsem):
+            rr = jnp.float32(0.0)
+            rz = jnp.float32(0.0)
+            for b in range(n_bands):
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).start()
+                x = xv[b * TH:b * TH + TB, :]
+                f = fv.at[:, pl.ds(b * TH, TB), :]
+                w, _ = _matvec_band(x, f, lam, sf, TH)
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).wait()
+                q = q_buf
+                fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+                q1 = fwd_x * q[0]
+                q1b = bwd_x * q[0]
+                dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
+                q2 = fwd_y * q[1]
+                q2b = bwd_y * q[1]
+                dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
+                rhs = (q[3, RING:RING + TH, :]
+                       + lam * (dxq + dyq - q[2])[RING:RING + TH, :])
+                r = rhs - w
+                rv[b * TH + RING:b * TH + RING + TH, :] = r
+                rr = rr + jnp.sum(r * r)
+                if jacobi:
+                    rz = rz + jnp.sum(
+                        r * r * fv[IVD, b * TH + RING:b * TH + RING + TH, :])
+            scal[0, S_R1] = rz if jacobi else rr
+            if jacobi:
+                scal[0, S_RR2] = rr
+            r1_ref[lane, 0] = rr
+
+        pl.run_scoped(
+            body,
+            q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
+            qsem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    # ---------------- iteration steps --------------------------------
+    is_iter = (it >= 1) & (it < n_it - 1)
+
+    @pl.when(is_iter)
+    def _():
+        r1 = scal[0, S_R1]
+        stop_dot = scal[0, S_RR2] if jacobi else r1
+        active = jnp.where(
+            (stop_dot > tol_sq)
+            & ((it - 1).astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(
+            it == 1, 0.0,
+            r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[lane, 0] += 1.0
+
+    active = (scal[0, S_ACT] > 0.0) & is_iter
+
+    @pl.when(active)
+    def _():
+        beta = scal[0, S_BETA]
+        par = lax.rem(it - 1, 2)
+
+        # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>
+        pw = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_b = slice(b * TH, b * TH + TB)
+            r = rv[sl_b, :]
+            # read p_old from the parity-selected plane without branching
+            # on a traced value: both planes are resident, select by par.
+            p_old = jnp.where(par == 0, p0v[sl_b, :], p1v[sl_b, :])
+            if jacobi:
+                z = r * fv[IVD, sl_b, :]
+            else:
+                z = r
+            p = z + beta * p_old
+            f = fv.at[:, pl.ds(b * TH, TB), :]
+            w, pin = _matvec_band(p, f, lam, sf, TH)
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+
+            @pl.when(par == 0)
+            def _():
+                p1v[sl_i, :] = pin
+
+            @pl.when(par == 1)
+            def _():
+                p0v[sl_i, :] = pin
+
+            wv[sl_i, :] = w
+            pw = pw + jnp.sum(pin * w)
+        scal[0, S_PW] = pw
+        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+
+        # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
+        alpha = scal[0, S_ALPHA]
+        rr = jnp.float32(0.0)
+        rz = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            p_new = jnp.where(par == 0, p1v[sl_i, :], p0v[sl_i, :])
+            x = xv[sl_i, :] + alpha * p_new
+            r = rv[sl_i, :] - alpha * wv[sl_i, :]
+            xv[sl_i, :] = x
+            rv[sl_i, :] = r
+            rr = rr + jnp.sum(r * r)
+            if jacobi:
+                rz = rz + jnp.sum(r * r * fv[IVD, sl_i, :])
+        scal[0, S_R0] = scal[0, S_R1]
+        scal[0, S_R1] = rz if jacobi else rr
+        if jacobi:
+            scal[0, S_RR2] = rr
+        r1_ref[lane, 0] = rr
+
+    # ---------------- epilogue: write x back --------------------------
+    @pl.when(it == n_it - 1)
+    def _():
+        cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[0])
+        cp.start()
+        cp.wait()
+
+
+def cg_pallas_vmem_fromop_batched(
+    x0, op, gm, ktw, z0t, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100, invd=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Lane-batched fully VMEM-resident CG with in-kernel r0 prologue.
+
+    Same contract as pallas_cg_pipe.cg_pallas_pipelined_fromop_batched;
+    callers must gate on :func:`supported_vmem`."""
+    B, h, w = x0.shape
+    jacobi = invd is not None
+    if sf not in (1, 2, 4):
+        raise ValueError(f"unsupported sf: {sf}")
+    th = vmem_th(h, w)
+    geo = geometry(h, w, th)
+    if jacobi:
+        F = jax.vmap(lambda o, g, k, i: stack_fields_packed(
+            o, g, k, geo, invd=i))(op, gm, ktw, jnp.asarray(
+                invd, jnp.float32))
+    else:
+        F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
+            op, gm, ktw)
+    R0 = jax.vmap(lambda o, z: pad_field(
+        jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
+            z0t, jnp.float32))
+    X = jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32))
+    consts = jnp.stack([
+        jnp.full((B,), jnp.float32(tol) ** 2),
+        jnp.zeros((B,), jnp.float32),
+        jnp.full((B,), jnp.float32(max_iter)),
+    ], axis=1)  # (B, 3)
+
+    hp2, wp = geo.shape
+    nf = _n_fields(jacobi)
+    kernel = functools.partial(
+        _kernel_vmem, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
+        jacobi=jacobi)
+    X_new, iters, r1 = pl.pallas_call(
+        kernel,
+        grid=(B, max_iter + 3),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(X.shape, X.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp2, wp), jnp.float32),       # x
+            pltpu.VMEM((hp2, wp), jnp.float32),       # r
+            pltpu.VMEM((hp2, wp), jnp.float32),       # p ping
+            pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
+            pltpu.VMEM((hp2, wp), jnp.float32),       # w
+            pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F
+            pltpu.SMEM((1, 8), jnp.float32),          # scalars
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_BUDGET),
+        interpret=_pcg.INTERPRET,
+    )(consts, X, F, R0)
+    x = jax.vmap(lambda a: unpad_field(a, geo))(X_new)
+    return x, iters[:, 0].astype(jnp.int32), r1[:, 0]
+
+
+def cg_pallas_vmem_fromop(
+    x0, op, gm, ktw, z0t, *, sf: int, lam: float,
+    tol: float = 1e-9, max_iter: int = 100, invd=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-problem wrapper over the VMEM-resident variant."""
+    add_b = lambda a: jnp.asarray(a)[None]
+    x, iters, r1 = cg_pallas_vmem_fromop_batched(
+        add_b(x0),
+        jax.tree_util.tree_map(add_b, op),
+        jax.tree_util.tree_map(add_b, gm),
+        add_b(ktw), add_b(z0t), sf=sf, lam=lam, tol=tol, max_iter=max_iter,
+        invd=None if invd is None else add_b(invd))
+    return x[0], iters[0], r1[0]

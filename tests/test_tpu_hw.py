@@ -186,6 +186,53 @@ def test_jacobi_pipelined_on_hw(problem):
     _check(x, k, res)
 
 
+def test_vmem_resident_kernel_on_hw(problem):
+    """Whole-solve-resident kernel (pallas_cg_vmem): Mosaic-compile and run
+    the one-launch zero-HBM-loop variant, plain and Jacobi."""
+    from srmeetsps_cuda_tpu.models import srps
+    from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+    from srmeetsps_cuda_tpu.solve.pallas_cg_vmem import (
+        cg_pallas_vmem_fromop, supported_vmem)
+
+    prob, st, op, sf = problem
+    h, w = np.asarray(prob.mask).shape
+    assert supported_vmem(h, w, sf) and supported_vmem(h, w, sf, jacobi=True)
+    _, res = _ref(prob, st, op, sf, 8)
+    x, k, _ = cg_pallas_vmem_fromop(st.z, op, prob.gm, prob.ktw, prob.z0t,
+                                    sf=sf, lam=1.0, tol=1e-4, max_iter=8)
+    _check(x, k, res)
+
+    mv = functools.partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                           lam=1.0)
+    diag = srps.depth_diag(op, prob, sf, 1.0)
+    res_j = conjugate_gradient(mv, srps.depth_rhs(op, prob, sf, 1.0)
+                               - mv(st.z), st.z, tol=1e-4, max_iter=8,
+                               precond=lambda r: r / diag)
+    x, k, _ = cg_pallas_vmem_fromop(st.z, op, prob.gm, prob.ktw, prob.z0t,
+                                    sf=sf, lam=1.0, tol=1e-4, max_iter=8,
+                                    invd=1.0 / diag)
+    _check(x, k, res_j)
+
+
+def test_vmem_resident_batched_on_hw(problem):
+    import jax
+    import jax.numpy as jnp
+    from srmeetsps_cuda_tpu.solve.pallas_cg_vmem import (
+        cg_pallas_vmem_fromop_batched)
+
+    prob, st, op, sf = problem
+    _, res = _ref(prob, st, op, sf, 8)
+    stack2 = lambda a: jnp.stack([jnp.asarray(a)] * 2)
+    xb, kb, _ = cg_pallas_vmem_fromop_batched(
+        stack2(st.z),
+        jax.tree_util.tree_map(stack2, op),
+        jax.tree_util.tree_map(stack2, prob.gm),
+        stack2(prob.ktw), stack2(prob.z0t),
+        sf=sf, lam=1.0, tol=1e-4, max_iter=8)
+    for b in range(2):
+        _check(xb[b], kb[b], res)
+
+
 @pytest.mark.parametrize("variant", ["std", "cgs"])
 def test_shard_pallas_kernels_on_hw(problem, variant):
     """Mosaic-compile the gen-2 per-shard kernels (prologue + sweep /
