@@ -38,6 +38,7 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     from ..ops import gradients as gradops
     from ..ops.normals import normals_from_depth
     from ..solve import pallas_cg_cgs as _cgs
+    from ..solve import pallas_cg_vmem as _pvm
     from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop_batched
 
     lam = cfg.lam
@@ -50,14 +51,23 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     # precomputed probs.ktw / probs.z0t fields avoid the per-iteration
     # upsample relayouts (same as the single-problem path).
     h, w = states.z.shape[-2:]
+    # VMEM-resident kernel when one lane's whole CG state fits on-chip
+    # (lanes run sequentially over the launch grid, so the gate is
+    # per-lane); it avoids the per-iteration HBM streaming AND the
+    # chained-launch glue (measured 35 vs 93 us/CG-iter in-context).
+    use_vmem = (cfg.pallas_vmem_resident and _pvm.supported_vmem(
+        h, w, sf, jacobi=cfg.jacobi_preconditioner))
     if cfg.jacobi_preconditioner:
         invd = 1.0 / jax.vmap(
             lambda o, p: srps.depth_diag(o, p, sf, lam))(op, probs)
-        x, cg_iters, _ = cg_pallas_pipelined_fromop_batched(
+        cg_fn = (_pvm.cg_pallas_vmem_fromop_batched if use_vmem
+                 else cg_pallas_pipelined_fromop_batched)
+        x, cg_iters, _ = cg_fn(
             states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
             tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
     else:
-        cg_fn = cg_pallas_pipelined_fromop_batched
+        cg_fn = (_pvm.cg_pallas_vmem_fromop_batched if use_vmem
+                 else cg_pallas_pipelined_fromop_batched)
         if (cfg.pallas_cg_variant == "cgs" and _cgs.supported_cgs(h, w, sf)):
             cg_fn = _cgs.cg_pallas_cgs_batched
         x, cg_iters, _ = cg_fn(
@@ -98,11 +108,15 @@ def solve_batched(
     # Jacobi rides the pipelined fromop kernel (invd as a packed F row);
     # the cgs variant has no preconditioned kernel, so jacobi+cgs falls
     # back to the vmapped jnp PCG.
+    from ..solve.pallas_cg_vmem import supported_vmem
+
     if (cfg.use_pallas
             and not (cfg.jacobi_preconditioner
                      and cfg.pallas_cg_variant == "cgs")
-            and _pcg.supported(h, w, sf, pipelined=True,
-                               jacobi=cfg.jacobi_preconditioner)):
+            and (_pcg.supported(h, w, sf, pipelined=True,
+                                jacobi=cfg.jacobi_preconditioner)
+                 or (cfg.pallas_vmem_resident and supported_vmem(
+                     h, w, sf, jacobi=cfg.jacobi_preconditioner)))):
         iterate = lambda st, pb: _iteration_batched_pallas(st, pb, sf, cfg)
     else:
         iterate = jax.vmap(lambda st, pb: srps.srps_iteration(st, pb, sf, cfg))

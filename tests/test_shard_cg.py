@@ -34,7 +34,7 @@ class TestShardCG:
         want = np.asarray(srps.depth_matvec(jnp.asarray(v), op, prob, sf, 1.0))
 
         mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         import functools
 
         def body(v_l, P11, P12, P13, P22, P23, P33, fx, bx, fy, by,
@@ -55,7 +55,7 @@ class TestShardCG:
 
         spec = P("x", None)
         fn = shard_map(body, mesh=mesh, in_specs=(spec,) * 13,
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec, check_vma=False)
         got = np.asarray(fn(
             jnp.asarray(v), op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
             prob.gm.fwd_x, prob.gm.bwd_x, prob.gm.fwd_y, prob.gm.bwd_y,
