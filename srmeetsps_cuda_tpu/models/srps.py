@@ -226,12 +226,58 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     T = rf[:, None] * Nf[None, :]  # (c,4,P) masked, flat-native
     ATb = jnp.einsum("cap,cnp->nca", T, prob.I, precision=HI,
                      preferred_element_type=jnp.float32)  # (n,c,4)
-    ATA_b = jnp.broadcast_to(ATA[None], (n, c, 4, 4))
-    sol = jnp.linalg.solve(ATA_b, ATb[..., None])[..., 0]
+    # Closed-form 4x4 solve (adjugate/Cramer): batched jnp.linalg.solve
+    # lowers to a per-matrix LU loop on TPU (~1.2 ms/outer-iteration for
+    # the (n,c) batch of sixty 4x4s); the cofactor expansion is ~60
+    # elementwise ops on (c,)-vectors. A singular ATA (degenerate channel)
+    # yields det=0 -> inf/nan, caught by the s_prev retention below.
+    inv = _inv4(ATA)  # (c,4,4)
+    sol = jnp.einsum("cab,ncb->nca", inv, ATb, precision=HI)
     if s_prev is None:
         return sol
     ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
     return jnp.where(ok, sol, s_prev)
+
+
+def _inv4(A):
+    """Batched explicit 4x4 inverse via the 2x2-minor Laplace expansion
+    (adjugate / det); elementwise over leading batch dims."""
+    a = [[A[..., i, j] for j in range(4)] for i in range(4)]
+    s0 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    s1 = a[0][0] * a[1][2] - a[0][2] * a[1][0]
+    s2 = a[0][0] * a[1][3] - a[0][3] * a[1][0]
+    s3 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    s4 = a[0][1] * a[1][3] - a[0][3] * a[1][1]
+    s5 = a[0][2] * a[1][3] - a[0][3] * a[1][2]
+    c5 = a[2][2] * a[3][3] - a[2][3] * a[3][2]
+    c4 = a[2][1] * a[3][3] - a[2][3] * a[3][1]
+    c3 = a[2][1] * a[3][2] - a[2][2] * a[3][1]
+    c2 = a[2][0] * a[3][3] - a[2][3] * a[3][0]
+    c1 = a[2][0] * a[3][2] - a[2][2] * a[3][0]
+    c0 = a[2][0] * a[3][1] - a[2][1] * a[3][0]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    r = 1.0 / det
+    adj = [
+        [a[1][1] * c5 - a[1][2] * c4 + a[1][3] * c3,
+         -a[0][1] * c5 + a[0][2] * c4 - a[0][3] * c3,
+         a[3][1] * s5 - a[3][2] * s4 + a[3][3] * s3,
+         -a[2][1] * s5 + a[2][2] * s4 - a[2][3] * s3],
+        [-a[1][0] * c5 + a[1][2] * c2 - a[1][3] * c1,
+         a[0][0] * c5 - a[0][2] * c2 + a[0][3] * c1,
+         -a[3][0] * s5 + a[3][2] * s2 - a[3][3] * s1,
+         a[2][0] * s5 - a[2][2] * s2 + a[2][3] * s1],
+        [a[1][0] * c4 - a[1][1] * c2 + a[1][3] * c0,
+         -a[0][0] * c4 + a[0][1] * c2 - a[0][3] * c0,
+         a[3][0] * s4 - a[3][1] * s2 + a[3][3] * s0,
+         -a[2][0] * s4 + a[2][1] * s2 - a[2][3] * s0],
+        [-a[1][0] * c3 + a[1][1] * c1 - a[1][2] * c0,
+         a[0][0] * c3 - a[0][1] * c1 + a[0][2] * c0,
+         -a[3][0] * s3 + a[3][1] * s1 - a[3][2] * s0,
+         a[2][0] * s3 - a[2][1] * s1 + a[2][2] * s0],
+    ]
+    return jnp.stack(
+        [jnp.stack([adj[i][j] * r for j in range(4)], axis=-1)
+         for i in range(4)], axis=-2)
 
 
 # ---------------------------------------------------------------------------

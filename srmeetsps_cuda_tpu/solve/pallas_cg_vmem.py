@@ -71,20 +71,36 @@ def vmem_th(h: int, w: int) -> int:
     return min(TH_V, max(8, hp8))
 
 
-def supported_vmem(h: int, w: int, sf: int, jacobi: bool = False) -> bool:
-    """Whether the fully resident kernel fits this grid in VMEM."""
-    if not _pcg.INTERPRET and jax.default_backend() not in ("tpu", "axon"):
-        return False
+def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
+              _check_backend: bool = True):
+    """Residency mode this grid supports: ``"full"`` (state + coefficient
+    fields all resident, zero HBM traffic in the loop), ``"hybrid"``
+    (CG state resident, the 8 packed F rows re-streamed band-by-band each
+    iteration — 1080p-class grids), or ``None`` (too big: streaming
+    kernels)."""
+    if (_check_backend and not _pcg.INTERPRET
+            and jax.default_backend() not in ("tpu", "axon")):
+        return None
     if sf not in (1, 2, 4):
-        return False
+        return None
     th = vmem_th(h, w)
     geo = geometry(h, w, th)
     hp2, wp = geo.shape
-    resident = (5 + _n_fields(jacobi)) * hp2 * wp * 4
-    # prologue band buffer (4 R0 rows + compute temps) rides in the slack
     tb = th + 2 * RING
+    # prologue band buffer (4 R0 rows) + compute temps ride in the slack
     temps = 16 * tb * wp * 4
-    return resident + temps <= VMEM_BUDGET
+    if (5 + _n_fields(jacobi)) * hp2 * wp * 4 + temps <= VMEM_BUDGET:
+        return "full"
+    state = (5 + (1 if jacobi else 0)) * hp2 * wp * 4
+    fbuf = 2 * 8 * tb * wp * 4
+    if state + fbuf + temps <= VMEM_BUDGET:
+        return "hybrid"
+    return None
+
+
+def supported_vmem(h: int, w: int, sf: int, jacobi: bool = False) -> bool:
+    """Whether a resident kernel (full or hybrid) fits this grid."""
+    return vmem_mode(h, w, sf, jacobi) is not None
 
 
 def _matvec_band(x, f, lam: float, sf: int, th: int):
@@ -271,6 +287,188 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
         cp.wait()
 
 
+def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
+                        X_out, iters_ref, r1_ref,
+                        *refs, lam: float, sf: int, n_bands: int, th: int,
+                        jacobi: bool):
+    """Hybrid residency: CG state (x/r/p ping-pong/w, + invd for Jacobi)
+    stays in VMEM across the whole solve; the 8 packed coefficient rows are
+    re-streamed HBM->VMEM band-by-band (double-buffered) in the matvec
+    sweep of every iteration.  Same grid/step structure and arithmetic as
+    :func:`_kernel_vmem`."""
+    if jacobi:
+        xv, rv, p0v, p1v, wv, fb, ivdv, scal, sems = refs
+    else:
+        xv, rv, p0v, p1v, wv, fb, scal, sems = refs
+        ivdv = None
+    TH = th
+    TB = TH + 2 * RING
+    lane = pl.program_id(0)
+    it = pl.program_id(1)
+    n_it = pl.num_programs(1)
+    tol_sq = consts_ref[lane, 0]
+    max_iter = consts_ref[lane, 2]
+
+    def _f_copy(b, cur):
+        return pltpu.make_async_copy(
+            F_hbm.at[lane, pl.ds(0, 8), pl.ds(b * TH, TB), :],
+            fb.at[cur], sems.at[cur])
+
+    # ---------------- it == 0: load state + r0 prologue -----------------
+    @pl.when(it == 0)
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_ACT] = 1.0
+        iters_ref[lane, 0] = 0.0
+
+        cp_x = pltpu.make_async_copy(X_hbm.at[lane], xv, sems.at[2])
+        cp_x.start()
+        if jacobi:
+            cp_i = pltpu.make_async_copy(F_hbm.at[lane, IVD], ivdv,
+                                         sems.at[3])
+            cp_i.start()
+        zero = jnp.zeros_like(p0v)
+        p0v[...] = zero
+        p1v[...] = zero
+        wv[...] = zero
+        rv[...] = zero
+        cp_x.wait()
+        if jacobi:
+            cp_i.wait()
+
+        def body(q_buf, qsem):
+            rr = jnp.float32(0.0)
+            rz = jnp.float32(0.0)
+            _f_copy(0, 0).start()
+            for b in range(n_bands):
+                cur = b % 2
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).start()
+                if b + 1 < n_bands:
+                    _f_copy(b + 1, 1 - cur).start()
+                _f_copy(b, cur).wait()
+                x = xv[b * TH:b * TH + TB, :]
+                f = fb.at[cur]
+                w, _ = _matvec_band(x, f, lam, sf, TH)
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).wait()
+                q = q_buf
+                fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+                q1 = fwd_x * q[0]
+                q1b = bwd_x * q[0]
+                dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
+                q2 = fwd_y * q[1]
+                q2b = bwd_y * q[1]
+                dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
+                rhs = (q[3, RING:RING + TH, :]
+                       + lam * (dxq + dyq - q[2])[RING:RING + TH, :])
+                r = rhs - w
+                rv[b * TH + RING:b * TH + RING + TH, :] = r
+                rr = rr + jnp.sum(r * r)
+                if jacobi:
+                    rz = rz + jnp.sum(
+                        r * r * ivdv[b * TH + RING:b * TH + RING + TH, :])
+            scal[0, S_R1] = rz if jacobi else rr
+            if jacobi:
+                scal[0, S_RR2] = rr
+            r1_ref[lane, 0] = rr
+
+        pl.run_scoped(
+            body,
+            q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
+            qsem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    # ---------------- iteration steps --------------------------------
+    is_iter = (it >= 1) & (it < n_it - 1)
+
+    @pl.when(is_iter)
+    def _():
+        r1 = scal[0, S_R1]
+        stop_dot = scal[0, S_RR2] if jacobi else r1
+        active = jnp.where(
+            (stop_dot > tol_sq)
+            & ((it - 1).astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(
+            it == 1, 0.0,
+            r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[lane, 0] += 1.0
+
+    active = (scal[0, S_ACT] > 0.0) & is_iter
+
+    @pl.when(active)
+    def _():
+        beta = scal[0, S_BETA]
+        par = lax.rem(it - 1, 2)
+
+        # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>;
+        # F bands stream in double-buffered under the compute.
+        pw = jnp.float32(0.0)
+        _f_copy(0, 0).start()
+        for b in range(n_bands):
+            cur = b % 2
+            if b + 1 < n_bands:
+                _f_copy(b + 1, 1 - cur).start()
+            _f_copy(b, cur).wait()
+            sl_b = slice(b * TH, b * TH + TB)
+            r = rv[sl_b, :]
+            p_old = jnp.where(par == 0, p0v[sl_b, :], p1v[sl_b, :])
+            if jacobi:
+                z = r * ivdv[sl_b, :]
+            else:
+                z = r
+            p = z + beta * p_old
+            w, pin = _matvec_band(p, fb.at[cur], lam, sf, TH)
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+
+            @pl.when(par == 0)
+            def _():
+                p1v[sl_i, :] = pin
+
+            @pl.when(par == 1)
+            def _():
+                p0v[sl_i, :] = pin
+
+            wv[sl_i, :] = w
+            pw = pw + jnp.sum(pin * w)
+        scal[0, S_PW] = pw
+        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+
+        # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r> (no F)
+        alpha = scal[0, S_ALPHA]
+        rr = jnp.float32(0.0)
+        rz = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            p_new = jnp.where(par == 0, p1v[sl_i, :], p0v[sl_i, :])
+            x = xv[sl_i, :] + alpha * p_new
+            r = rv[sl_i, :] - alpha * wv[sl_i, :]
+            xv[sl_i, :] = x
+            rv[sl_i, :] = r
+            rr = rr + jnp.sum(r * r)
+            if jacobi:
+                rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+        scal[0, S_R0] = scal[0, S_R1]
+        scal[0, S_R1] = rz if jacobi else rr
+        if jacobi:
+            scal[0, S_RR2] = rr
+        r1_ref[lane, 0] = rr
+
+    # ---------------- epilogue: write x back --------------------------
+    @pl.when(it == n_it - 1)
+    def _():
+        cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
+        cp.start()
+        cp.wait()
+
+
 def cg_pallas_vmem_fromop_batched(
     x0, op, gm, ktw, z0t, *, sf: int, lam: float,
     tol: float = 1e-9, max_iter: int = 100, invd=None,
@@ -304,8 +502,36 @@ def cg_pallas_vmem_fromop_batched(
 
     hp2, wp = geo.shape
     nf = _n_fields(jacobi)
+    mode = vmem_mode(h, w, sf, jacobi, _check_backend=False)
+    if mode is None:
+        raise ValueError(
+            f"grid {h}x{w} exceeds the resident-kernel VMEM budget "
+            "(gate on supported_vmem)")
+    tb = geo.th + 2 * RING
+    state = [
+        pltpu.VMEM((hp2, wp), jnp.float32),       # x
+        pltpu.VMEM((hp2, wp), jnp.float32),       # r
+        pltpu.VMEM((hp2, wp), jnp.float32),       # p ping
+        pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
+        pltpu.VMEM((hp2, wp), jnp.float32),       # w
+    ]
+    if mode == "full":
+        kern_fn = _kernel_vmem
+        scratch = state + [
+            pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F resident
+            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:  # hybrid: F double-buffered band window (+ resident invd)
+        kern_fn = _kernel_vmem_hybrid
+        scratch = state + [
+            pltpu.VMEM((2, 8, tb, wp), jnp.float32),  # F band window
+        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
     kernel = functools.partial(
-        _kernel_vmem, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
+        kern_fn, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
         jacobi=jacobi)
     X_new, iters, r1 = pl.pallas_call(
         kernel,
@@ -326,16 +552,7 @@ def cg_pallas_vmem_fromop_batched(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((hp2, wp), jnp.float32),       # x
-            pltpu.VMEM((hp2, wp), jnp.float32),       # r
-            pltpu.VMEM((hp2, wp), jnp.float32),       # p ping
-            pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
-            pltpu.VMEM((hp2, wp), jnp.float32),       # w
-            pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F
-            pltpu.SMEM((1, 8), jnp.float32),          # scalars
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_BUDGET),
         interpret=_pcg.INTERPRET,

@@ -26,16 +26,13 @@ def interpret_mode(monkeypatch):
 
 class TestSupportGate:
     def test_budget_gate(self):
-        # Mitten-class fits; 4K does not (falls back to streaming).
+        # Mitten-class fits fully; 1080p via the hybrid mode; 4K does not
+        # (falls back to streaming).
         assert pvm.supported_vmem(960, 1280, 2)
         assert pvm.supported_vmem(960, 1280, 2, jacobi=True)
+        assert pvm.supported_vmem(1088, 1920, 2)
         assert not pvm.supported_vmem(2176, 3840, 2)
         assert not pvm.supported_vmem(960, 1280, 3)
-
-    def test_1080p_fits(self):
-        # 1080p was the streaming kernels' th-degradation case; resident
-        # state at 1088x1920 is (5+8)*1104*1920*4 = 110 MB > budget.
-        assert not pvm.supported_vmem(1088, 1920, 2)
 
 
 class TestVmemCG:
@@ -100,6 +97,93 @@ class TestVmemCG:
             assert int(kb[b]) == int(k1)
             np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(x1),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestHybridMode:
+    """1080p-class residency: state resident, F streamed per band.  Small
+    test grids always satisfy the full-residency budget, so the hybrid
+    kernel is forced via vmem_mode."""
+
+    @pytest.fixture(autouse=True)
+    def force_hybrid(self, monkeypatch):
+        monkeypatch.setattr(pvm, "vmem_mode",
+                            lambda *a, **k: "hybrid")
+
+    @pytest.mark.parametrize("sf", [1, 2, 4])
+    def test_matches_streaming_fromop(self, rng, sf):
+        h, w = 40, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        for mi, rtol in [(2, 5e-5), (12, 3e-2)]:
+            x_s, k_s, r_s = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_v, k_v, r_v = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_v)) <= 1
+            np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
+                                       rtol=rtol, atol=rtol)
+
+    def test_jacobi_matches_jnp_pcg(self, rng):
+        from functools import partial
+
+        from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+        h, w, sf = 48, 32, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        lam = 1.0
+        matvec = partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                         lam=lam)
+        diag = srps.depth_diag(op, prob, sf, lam)
+        b_res = srps.depth_rhs(op, prob, sf, lam) - matvec(st.z)
+        for mi in (2, 15):
+            ref = conjugate_gradient(matvec, b_res, st.z, tol=1e-4,
+                                     max_iter=mi,
+                                     precond=lambda r: r / diag)
+            x, k, rr = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
+                tol=1e-4, max_iter=mi, invd=1.0 / diag)
+            assert int(k) == int(ref.iterations), mi
+            tol = dict(rtol=2e-4, atol=2e-4) if mi == 2 else dict(
+                rtol=3e-2, atol=3e-2)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                       **tol)
+
+    def test_multiband_geometry(self, rng, monkeypatch):
+        """Force several bands (th=16 over h=48) so the double-buffered
+        F window actually cycles.  Tight parity at 2 iterations (the
+        banded-halo invariant: measured f32-exact, ~7e-7); RMS-bounded at
+        8 (different band partitions reorder reductions — the documented
+        unconverged-CG drift)."""
+        monkeypatch.setattr(pvm, "vmem_th", lambda *a: 16)
+        h, w, sf = 48, 32, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        for mi, check in [(2, "tight"), (8, "rms")]:
+            x_s, k_s, _ = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_v, k_v, _ = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_v)) <= 1
+            if check == "tight":
+                np.testing.assert_allclose(np.asarray(x_v),
+                                           np.asarray(x_s),
+                                           rtol=1e-5, atol=1e-5)
+            else:
+                d = np.asarray(x_v) - np.asarray(x_s)
+                rms = np.sqrt(np.mean(np.asarray(x_s) ** 2))
+                assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
+
+
+class TestModeTable:
+    def test_mode_by_size(self):
+        assert pvm.vmem_mode(960, 1280, 2, _check_backend=False) == "full"
+        assert pvm.vmem_mode(1088, 1920, 2,
+                             _check_backend=False) == "hybrid"
+        assert pvm.vmem_mode(1088, 1920, 2, jacobi=True,
+                             _check_backend=False) == "hybrid"
+        assert pvm.vmem_mode(2176, 3840, 2, _check_backend=False) is None
 
 
 class TestRouting:
