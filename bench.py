@@ -23,6 +23,23 @@ BASELINE_SECONDS = 1.22
 MITTEN = "/root/reference/dataset/Images/Mitten"
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fused-solve program compiles
+    remotely through the TPU tunnel (minutes); caching makes repeat bench
+    runs (and the driver's end-of-round run) start in seconds."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_srmeetsps"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def find_dataset():
     if os.path.isdir(MITTEN):
         return MITTEN
@@ -458,6 +475,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "batched":
         bench_batched(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
