@@ -45,12 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_cg as _pcg
 from .pallas_cg import (
     RING, geometry, pad_field, unpad_field,
+    _shift, _tilesum, P11, P12, P13, P22, P23, P33,
+    FX as FXR, BX as BXR, FY as FYR, BY as BYR, KTW as KTWR,
 )
 from .pallas_cg_fused import S_R0, S_R1, S_PW, S_RR, S_ACT, S_BETA, S_ALPHA
 from .pallas_cg_pipe import (
     KTW, MB, IVD, S_RR2, _unpack_masks, stack_fields_packed,
 )
-from .pallas_cg import _shift, _tilesum, P11, P12, P13, P22, P23, P33
+
+# In the fully resident mode the gradient masks ride as 4 explicit f32
+# rows (the pallas_cg 11-field layout + IVD appended) instead of the
+# packed int32 bitfield row: once resident, extra VMEM planes are free,
+# and dropping the per-band bitcast/shift/convert unpack removes ~12 VPU
+# ops per element from the compute-bound iteration sweep. The streaming
+# (hybrid) mode keeps the 8-row packed layout — there the 3 extra rows
+# would be re-streamed from HBM every iteration.
+IVDR = 11
 
 # Band height for the in-VMEM compute sweeps (bounds temporary liveness;
 # bands are statically unrolled so all slicing is static).
@@ -61,8 +71,19 @@ TH_V = 64
 VMEM_BUDGET = 100 << 20
 
 
-def _n_fields(jacobi: bool) -> int:
+def _n_fields(jacobi: bool, rows: bool = False) -> int:
+    if rows:
+        return 12 if jacobi else 11
     return 9 if jacobi else 8
+
+
+def stack_fields_rows(op, gm, ktw, geo, invd=None):
+    """(11(+1), Hp+2R, Wp) coefficient stack with unpacked mask rows."""
+    rows = [op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+            gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, ktw]
+    if invd is not None:
+        rows.append(invd)
+    return pad_field(jnp.stack(rows), geo)
 
 
 def vmem_th(h: int, w: int) -> int:
@@ -74,10 +95,12 @@ def vmem_th(h: int, w: int) -> int:
 def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
               _check_backend: bool = True):
     """Residency mode this grid supports: ``"full"`` (state + coefficient
-    fields all resident, zero HBM traffic in the loop), ``"hybrid"``
-    (CG state resident, the 8 packed F rows re-streamed band-by-band each
-    iteration — 1080p-class grids), or ``None`` (too big: streaming
-    kernels)."""
+    fields all resident with unpacked mask rows, zero HBM traffic in the
+    loop), ``"full_packed"`` (same residency, 8-row packed-bitmask layout
+    — mid-size grids where the 3 extra mask rows don't fit),
+    ``"hybrid"`` (CG state resident, the 8 packed F rows re-streamed
+    band-by-band each iteration — 1080p-class grids), or ``None``
+    (too big: streaming kernels)."""
     if (_check_backend and not _pcg.INTERPRET
             and jax.default_backend() not in ("tpu", "axon")):
         return None
@@ -89,9 +112,12 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     tb = th + 2 * RING
     # prologue band buffer (4 R0 rows) + compute temps ride in the slack
     temps = 16 * tb * wp * 4
-    if (5 + _n_fields(jacobi)) * hp2 * wp * 4 + temps <= VMEM_BUDGET:
+    plane = hp2 * wp * 4
+    if (5 + _n_fields(jacobi, rows=True)) * plane + temps <= VMEM_BUDGET:
         return "full"
-    state = (5 + (1 if jacobi else 0)) * hp2 * wp * 4
+    if (5 + _n_fields(jacobi)) * plane + temps <= VMEM_BUDGET:
+        return "full_packed"
+    state = (5 + (1 if jacobi else 0)) * plane
     fbuf = 2 * 8 * tb * wp * 4
     if state + fbuf + temps <= VMEM_BUDGET:
         return "hybrid"
@@ -103,11 +129,19 @@ def supported_vmem(h: int, w: int, sf: int, jacobi: bool = False) -> bool:
     return vmem_mode(h, w, sf, jacobi) is not None
 
 
-def _matvec_band(x, f, lam: float, sf: int, th: int):
+def _band_masks(f, rows: bool):
+    """The 4 gradient masks of one banded F block: explicit f32 rows in
+    the unpacked layout, a bitfield unpack in the packed one."""
+    if rows:
+        return f[FXR], f[BXR], f[FYR], f[BYR]
+    return _unpack_masks(f[MB])
+
+
+def _matvec_band(x, f, lam: float, sf: int, th: int, rows: bool = False):
     """w = M x on one ring-banded block; returns (interior w, x interior).
 
     Identical arithmetic to pallas_cg_pipe._kernel's phase-0 body."""
-    fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+    fwd_x, bwd_x, fwd_y, bwd_y = _band_masks(f, rows)
     g = fwd_x * (_shift(x, 0, 1) - x) + bwd_x * (x - _shift(x, 0, -1))
     h = fwd_y * (_shift(x, 1, 0) - x) + bwd_y * (x - _shift(x, -1, 0))
     t1 = f[P11] * g + f[P12] * h - f[P13] * x
@@ -120,7 +154,7 @@ def _matvec_band(x, f, lam: float, sf: int, th: int):
     b2 = bwd_y * t2
     dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
     xin = x[RING:RING + th, :]
-    ktt = f[KTW, RING:RING + th, :] * _tilesum(xin, sf)
+    ktt = f[KTWR if rows else KTW, RING:RING + th, :] * _tilesum(xin, sf)
     w = ktt + lam * (dxt + dyt - t3)[RING:RING + th, :]
     return w, xin
 
@@ -129,11 +163,15 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
                  X_out, iters_ref, r1_ref,
                  xv, rv, p0v, p1v, wv, fv, scal, sems,
                  *, lam: float, sf: int, n_bands: int, th: int,
-                 jacobi: bool):
+                 jacobi: bool, rows: bool = False):
     """Grid (B, max_iter + 3): it=0 load+prologue, it in [1, max_iter+1]
-    one full CG iteration per step, it=max_iter+2 epilogue (x out)."""
+    one full CG iteration per step, it=max_iter+2 epilogue (x out).
+
+    ``rows``: F uses the unpacked 11(+1)-row layout (mask rows resident,
+    no per-band bitfield unpack in the sweeps)."""
     TH = th
     TB = TH + 2 * RING
+    ivd_i = IVDR if rows else IVD
     lane = pl.program_id(0)
     it = pl.program_id(1)
     n_it = pl.num_programs(1)
@@ -171,12 +209,12 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
                     q_buf, qsem).start()
                 x = xv[b * TH:b * TH + TB, :]
                 f = fv.at[:, pl.ds(b * TH, TB), :]
-                w, _ = _matvec_band(x, f, lam, sf, TH)
+                w, _ = _matvec_band(x, f, lam, sf, TH, rows)
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).wait()
                 q = q_buf
-                fwd_x, bwd_x, fwd_y, bwd_y = _unpack_masks(f[MB])
+                fwd_x, bwd_x, fwd_y, bwd_y = _band_masks(f, rows)
                 q1 = fwd_x * q[0]
                 q1b = bwd_x * q[0]
                 dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
@@ -190,7 +228,8 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
                 rr = rr + jnp.sum(r * r)
                 if jacobi:
                     rz = rz + jnp.sum(
-                        r * r * fv[IVD, b * TH + RING:b * TH + RING + TH, :])
+                        r * r
+                        * fv[ivd_i, b * TH + RING:b * TH + RING + TH, :])
             scal[0, S_R1] = rz if jacobi else rr
             if jacobi:
                 scal[0, S_RR2] = rr
@@ -238,12 +277,12 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
             # on a traced value: both planes are resident, select by par.
             p_old = jnp.where(par == 0, p0v[sl_b, :], p1v[sl_b, :])
             if jacobi:
-                z = r * fv[IVD, sl_b, :]
+                z = r * fv[ivd_i, sl_b, :]
             else:
                 z = r
             p = z + beta * p_old
             f = fv.at[:, pl.ds(b * TH, TB), :]
-            w, pin = _matvec_band(p, f, lam, sf, TH)
+            w, pin = _matvec_band(p, f, lam, sf, TH, rows)
             sl_i = slice(b * TH + RING, b * TH + RING + TH)
 
             @pl.when(par == 0)
@@ -272,7 +311,7 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
             rv[sl_i, :] = r
             rr = rr + jnp.sum(r * r)
             if jacobi:
-                rz = rz + jnp.sum(r * r * fv[IVD, sl_i, :])
+                rz = rz + jnp.sum(r * r * fv[ivd_i, sl_i, :])
         scal[0, S_R0] = scal[0, S_R1]
         scal[0, S_R1] = rz if jacobi else rr
         if jacobi:
@@ -483,12 +522,19 @@ def cg_pallas_vmem_fromop_batched(
         raise ValueError(f"unsupported sf: {sf}")
     th = vmem_th(h, w)
     geo = geometry(h, w, th)
+    mode = vmem_mode(h, w, sf, jacobi, _check_backend=False)
+    if mode is None:
+        raise ValueError(
+            f"grid {h}x{w} exceeds the resident-kernel VMEM budget "
+            "(gate on supported_vmem)")
+    rows = mode == "full"
+    stack_fn = stack_fields_rows if rows else stack_fields_packed
     if jacobi:
-        F = jax.vmap(lambda o, g, k, i: stack_fields_packed(
+        F = jax.vmap(lambda o, g, k, i: stack_fn(
             o, g, k, geo, invd=i))(op, gm, ktw, jnp.asarray(
                 invd, jnp.float32))
     else:
-        F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
+        F = jax.vmap(lambda o, g, k: stack_fn(o, g, k, geo))(
             op, gm, ktw)
     R0 = jax.vmap(lambda o, z: pad_field(
         jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
@@ -501,12 +547,7 @@ def cg_pallas_vmem_fromop_batched(
     ], axis=1)  # (B, 3)
 
     hp2, wp = geo.shape
-    nf = _n_fields(jacobi)
-    mode = vmem_mode(h, w, sf, jacobi, _check_backend=False)
-    if mode is None:
-        raise ValueError(
-            f"grid {h}x{w} exceeds the resident-kernel VMEM budget "
-            "(gate on supported_vmem)")
+    nf = _n_fields(jacobi, rows=rows)
     tb = geo.th + 2 * RING
     state = [
         pltpu.VMEM((hp2, wp), jnp.float32),       # x
@@ -515,8 +556,8 @@ def cg_pallas_vmem_fromop_batched(
         pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
         pltpu.VMEM((hp2, wp), jnp.float32),       # w
     ]
-    if mode == "full":
-        kern_fn = _kernel_vmem
+    if mode in ("full", "full_packed"):
+        kern_fn = functools.partial(_kernel_vmem, rows=rows)
         scratch = state + [
             pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F resident
             pltpu.SMEM((1, 8), jnp.float32),

@@ -176,9 +176,66 @@ class TestHybridMode:
                 assert np.sqrt(np.mean(d ** 2)) / rms < 5e-2
 
 
+class TestFullPackedMode:
+    """Mid-size grids where the 3 extra unpacked mask rows don't fit:
+    resident F keeps the 8-row packed-bitmask layout. Small test grids
+    always fit the rows layout, so the packed-full kernel is forced."""
+
+    @pytest.fixture(autouse=True)
+    def force_full_packed(self, monkeypatch):
+        monkeypatch.setattr(pvm, "vmem_mode",
+                            lambda *a, **k: "full_packed")
+
+    @pytest.mark.parametrize("sf", [1, 2])
+    def test_matches_streaming_fromop(self, rng, sf):
+        h, w = 40, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        for mi, rtol in [(2, 5e-5), (12, 3e-2)]:
+            x_s, k_s, r_s = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_v, k_v, r_v = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_v)) <= 1
+            np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
+                                       rtol=rtol, atol=rtol)
+
+    def test_jacobi_matches_jnp_pcg(self, rng):
+        from functools import partial
+
+        from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+        h, w, sf = 48, 32, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        lam = 1.0
+        matvec = partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                         lam=lam)
+        diag = srps.depth_diag(op, prob, sf, lam)
+        for mi in (2, 15):
+            b_res = srps.depth_rhs(op, prob, sf, lam) - matvec(st.z)
+            ref = conjugate_gradient(matvec, b_res, st.z, tol=1e-4,
+                                     max_iter=mi,
+                                     precond=lambda r: r / diag)
+            x, k, rr = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
+                tol=1e-4, max_iter=mi, invd=1.0 / diag)
+            assert int(k) == int(ref.iterations), mi
+            tol = dict(rtol=2e-4, atol=2e-4) if mi == 2 else dict(
+                rtol=3e-2, atol=3e-2)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                       **tol)
+
+
 class TestModeTable:
     def test_mode_by_size(self):
         assert pvm.vmem_mode(960, 1280, 2, _check_backend=False) == "full"
+        assert pvm.vmem_mode(960, 1280, 2, jacobi=True,
+                             _check_backend=False) == "full"
+        # Mid-size: the 11-row layout overflows the budget, the 8-row
+        # packed one still fits fully resident.
+        assert pvm.vmem_mode(1024, 1664, 2,
+                             _check_backend=False) == "full_packed"
         assert pvm.vmem_mode(1088, 1920, 2,
                              _check_backend=False) == "hybrid"
         assert pvm.vmem_mode(1088, 1920, 2, jacobi=True,

@@ -29,7 +29,7 @@ from srmeetsps_cuda_tpu.ops.normals import normals_from_depth  # noqa: E402
 from srmeetsps_cuda_tpu.runtime.solver import prepare  # noqa: E402
 
 
-def marginal(f, n_lo=2, n_hi=12, reps=4):
+def marginal(f, n_lo=4, n_hi=24, reps=6):
     out = {}
     for n in (n_lo, n_hi):
         np.asarray(jnp.sum(f(n)))
@@ -124,16 +124,18 @@ def main():
                 c0)[0]
         return jax.jit(f, static_argnums=0)
 
+    # Ablate against the cap-100 base (the production configuration):
+    # cap-1 chains measure pathologically slow (~32 ms/iter vs 8.5 at
+    # cap-100, reproducibly) — whatever that artifact is, deltas against
+    # it would misattribute the glue.
     c0 = (st.z, st.rho, st.s, st.N)
-    base = marginal(lambda k: make(None)(k, c0, prob, st.dz)) * 1e3
-    print(f"full (cg cap1)     {base:8.3f} ms/iter")
-    base100 = marginal(
+    base = marginal(
         lambda k: make(None, cg_iters=100)(k, c0, prob, st.dz)) * 1e3
-    print(f"full (cg cap100)   {base100:8.3f} ms/iter   "
-          f"(in-ctx {1e3 * (base100 - base) / 99:6.1f} us/cg-iter)")
+    print(f"full (cg cap100)   {base:8.3f} ms/iter")
     for skip in ("lighting", "moments", "albedo", "opbuild", "cg",
                  "energy", "normals"):
-        ms = marginal(lambda k: make(skip)(k, c0, prob, st.dz)) * 1e3
+        ms = marginal(
+            lambda k: make(skip, cg_iters=100)(k, c0, prob, st.dz)) * 1e3
         print(f"minus {skip:<12} {ms:8.3f} ms/iter  (stage cost "
               f"{base - ms:+7.3f})")
 
