@@ -96,9 +96,14 @@ def main():
         if skip == "cg":
             z2 = z * 0.999 + op.P11 * 1e-20
         else:
+            # tol=0: never early-exit. Stage stubs degenerate the linear
+            # system, and with a real tol the kernel's in-kernel
+            # convergence exit then skips most of the 100 iterations —
+            # ~3.5 ms of CG savings get misattributed to the stubbed
+            # stage (the original 'moments +4.2 ms' artifact).
             x, iters, _ = _pvm.cg_pallas_vmem_fromop(
                 z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
-                tol=cfg.cg_tol, max_iter=cg_iters)
+                tol=0.0, max_iter=cg_iters)
             z2 = x * prob.mask
         # --- energy ---
         if skip == "energy":
@@ -117,25 +122,32 @@ def main():
         return (z2 + 1e-20 * e, rho, s, N2)
 
     def make(skip, cg_iters=1):
+        # k is dynamic (fori_loop takes a traced bound) so one compile
+        # serves every chain length.
         def f(k, c0, prob, dzf):
             return lax.fori_loop(
                 0, k,
                 lambda i, cc: iteration(cc, prob, dzf, skip, cg_iters),
                 c0)[0]
-        return jax.jit(f, static_argnums=0)
+        return jax.jit(f)
 
     # Ablate against the cap-100 base (the production configuration):
     # cap-1 chains measure pathologically slow (~32 ms/iter vs 8.5 at
     # cap-100, reproducibly) — whatever that artifact is, deltas against
     # it would misattribute the glue.
+    #
+    # Build each jitted program ONCE and reuse it across the timed calls:
+    # make() returns a fresh closure, and a fresh jax.jit wrapper would
+    # retrace on every call (the timings then measure tracing, not the
+    # device program — the symptom is a *negative* marginal).
     c0 = (st.z, st.rho, st.s, st.N)
-    base = marginal(
-        lambda k: make(None, cg_iters=100)(k, c0, prob, st.dz)) * 1e3
+    f_base = make(None, cg_iters=100)
+    base = marginal(lambda k: f_base(k, c0, prob, st.dz)) * 1e3
     print(f"full (cg cap100)   {base:8.3f} ms/iter")
     for skip in ("lighting", "moments", "albedo", "opbuild", "cg",
                  "energy", "normals"):
-        ms = marginal(
-            lambda k: make(skip, cg_iters=100)(k, c0, prob, st.dz)) * 1e3
+        f_skip = make(skip, cg_iters=100)
+        ms = marginal(lambda k: f_skip(k, c0, prob, st.dz)) * 1e3
         print(f"minus {skip:<12} {ms:8.3f} ms/iter  (stage cost "
               f"{base - ms:+7.3f})")
 
