@@ -286,24 +286,26 @@ def _inv4(A):
 
 
 class SMoments(NamedTuple):
-    G: jax.Array  # (c, 4, 4)  sum_i s_ic s_ic^T
-    J: jax.Array  # (c, 4, P)  sum_i s[i,c,k] * I[i,c] — kept in the flat
-    #             pixel layout the I-contraction produces; consumers
-    #             (albedo, the B_k correlation fields) work in flat space
-    #             and only the three B_k outputs are retiled to (h, w),
-    #             12 -> 3 field relayouts per outer iteration.
+    G: jax.Array  # (c, 4, 4)   sum_i s_ic s_ic^T
+    J: jax.Array  # (c, 4, h, w) sum_i s[i,c,k] * I[i,c]
 
 
 def s_moments(prob: SRPSProblem, s) -> SMoments:
+    h, w = prob.mask.shape
+    c = prob.I.shape[0]
     G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
     # c-batched (4,n)@(n,P) matmul on the pre-flattened channel-major
-    # layout — one clean streaming pass over I, no relayout (J stays in
-    # the flat (c,4,P) layout the matmul produces; a .reshape(c,4,h,w)
-    # here is a physical 12-field retile on TPU, ~0.45 ms/iteration).
+    # layout — one clean streaming pass over I — then ONE retile of the
+    # (c,4,P) result to image space. Keeping J flat instead (round-3
+    # experiment) makes every consumer's J[i, k] row read sublane-strided
+    # and costs ~0.6 ms/outer-iteration MORE than this single relayout
+    # (tools/profile_jreads.py: flat 6.81 vs hw 6.17 ms/iter in context;
+    # XLA materialises the retile once — an optimization_barrier here
+    # measured 0.04 ms SLOWER, tools/profile_prod.py).
     J = jnp.einsum(
         "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I,
         precision=HI, preferred_element_type=jnp.float32,
-    )
+    ).reshape(c, 4, h, w)
     return SMoments(G, J)
 
 
@@ -320,21 +322,17 @@ def estimate_albedo(prob: SRPSProblem, mom: SMoments, N, rho_prev) -> jax.Array:
     # num_c = sum_k N_k J_ck, den_c = sum_kl G_ckl N_k N_l — k/l are tiny
     # static axes, so unroll into elementwise sums XLA fuses into a single
     # pass (einsums with (h, w) free dims lower transpose-heavy on TPU).
-    # Computed in flat pixel space (J's native layout; Nf/rf CSE with
-    # estimate_lighting) — only the (c,P)->(c,h,w) result is retiled.
+    # J's (c,4,h,w) layout makes every J[i, k] read a contiguous plane.
     c = mom.J.shape[0]
-    h, w = prob.mask.shape
-    Nf = N.reshape(4, h * w)
-    rf_prev = rho_prev.reshape(c, h * w)
     num = jnp.stack([
-        sum(Nf[k] * mom.J[i, k] for k in range(4)) for i in range(c)])
-    NN = {(k, l): Nf[k] * Nf[l] for k in range(4) for l in range(k, 4)}
+        sum(N[k] * mom.J[i, k] for k in range(4)) for i in range(c)])
+    NN = {(k, l): N[k] * N[l] for k in range(4) for l in range(k, 4)}
     den = jnp.stack([
         sum((1.0 if k == l else 2.0) * mom.G[i, k, l] * NN[(k, l)]
             for k in range(4) for l in range(k, 4))
         for i in range(c)])
-    rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rf_prev)
-    return (rho * prob.mask.reshape(h * w)).reshape(c, h, w)
+    rho = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), rho_prev)
+    return rho * prob.mask
 
 
 # ---------------------------------------------------------------------------
@@ -394,14 +392,9 @@ def build_depth_operator(
     D03 = sum(w1r[i] * G[i, 0, 3] for i in range(c))
     D13 = sum(w1r[i] * G[i, 1, 3] for i in range(c))
     D23 = sum(w1r[i] * G[i, 2, 3] for i in range(c))
-    # The I-correlation fields contract against J in its flat native
-    # layout; only the three (P,) results retile back to (h, w) —
-    # 12 -> 3 per-iteration field relayouts (w1 flat is CSE'd from the
-    # albedo step's pre-retile value).
-    w1f = rho.reshape(c, h * w) / dz.reshape(h * w)
-    B0 = sum(w1f[i] * mom.J[i, 0] for i in range(c)).reshape(h, w)
-    B1 = sum(w1f[i] * mom.J[i, 1] for i in range(c)).reshape(h, w)
-    B2 = sum(w1f[i] * mom.J[i, 2] for i in range(c)).reshape(h, w)
+    B0 = sum(w1[i] * mom.J[i, 0] for i in range(c))
+    B1 = sum(w1[i] * mom.J[i, 1] for i in range(c))
+    B2 = sum(w1[i] * mom.J[i, 2] for i in range(c))
 
     P11 = fx * fx * A00 - 2.0 * fx * xx * A02 + xx * xx * A22
     P22 = fy * fy * A11 - 2.0 * fy * yy * A12 + yy * yy * A22
@@ -413,9 +406,8 @@ def build_depth_operator(
     QB3 = B2 - D23
     QB1 = fx * (B0 - D03) - xx * QB3
     QB2 = fy * (B1 - D13) - yy * QB3
-    rf = rho.reshape(c, h * w)
-    const = (jnp.sum(prob.SI2) - 2.0 * jnp.sum(rf * mom.J[:, 3])
-             + jnp.vdot(jnp.sum(rf * rf, axis=1), G[:, 3, 3]))
+    const = (jnp.sum(prob.SI2) - 2.0 * jnp.sum(rho * mom.J[:, 3])
+             + jnp.vdot(jnp.sum(rho * rho, axis=(1, 2)), G[:, 3, 3]))
 
     return DepthOperator(P11, P12, P13, P22, P23, P33, QB1, QB2, QB3, const)
 

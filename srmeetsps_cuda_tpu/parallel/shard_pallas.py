@@ -609,8 +609,8 @@ def _local_fields(op_l, gm_l, mask_l, masks_l, z0t_l, sf, geo, h_b,
     ktw_l = _pcg.make_ktw(mask_l, masks_l, sf)
     F = stack_fields_packed(op_l, gm_l, ktw_l, geo)
     F = _ring_exchange(F, h_b, axis_name, RING)
-    R0 = pad_field(jnp.stack([op_l.QB1, op_l.QB2, op_l.QB3,
-                              jnp.asarray(z0t_l, jnp.float32)]), geo)
+    R0 = jnp.stack([pad_field(r, geo) for r in (
+        op_l.QB1, op_l.QB2, op_l.QB3, jnp.asarray(z0t_l, jnp.float32))])
     R0 = _ring_exchange(R0, h_b, axis_name, RING)
     return F, R0
 

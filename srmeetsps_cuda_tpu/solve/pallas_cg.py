@@ -329,11 +329,11 @@ def unpad_field(a, geo: PaddedGeometry):
 
 def stack_fields(op, gm, ktw, geo: PaddedGeometry):
     """Build the (11, Hp + 2*RING, Wp) stacked coefficient array."""
-    F = jnp.stack([
+    # pad-per-row-then-stack: see pallas_cg_vmem.stack_fields_rows
+    return jnp.stack([pad_field(r, geo) for r in (
         op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
         gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, ktw,
-    ])
-    return pad_field(F, geo)
+    )])
 
 
 def make_ktw(mask, masks, sf: int):

@@ -389,9 +389,9 @@ def cg_pallas_cgs_batched(
     geo = geometry(h, w, th)
     F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
         op, gm, ktw)
-    R0 = jax.vmap(lambda o, z: pad_field(
-        jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
-            z0t, jnp.float32))
+    R0 = jax.vmap(lambda o, z: jnp.stack(
+        [pad_field(r, geo) for r in (o.QB1, o.QB2, o.QB3, z)]))(
+            op, jnp.asarray(z0t, jnp.float32))
     zero = jnp.zeros((B,) + geo.shape, jnp.float32)
     # Rows: [x, p, r0, w0, s0, r1, w1, s1] — (r, w, s) double-buffered by
     # iteration parity (see the RAW-hazard note at the top).

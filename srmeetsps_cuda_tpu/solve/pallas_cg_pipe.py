@@ -58,8 +58,10 @@ def stack_fields_packed(op, gm, ktw, geo, invd=None):
     rows = [op.P11, op.P12, op.P13, op.P22, op.P23, op.P33, ktw, mb_f]
     if invd is not None:
         rows.append(invd)
-    F = jnp.stack(rows)
-    return pad_field(F, geo)
+    # pad-per-row-then-stack: see stack_fields_rows (avoids re-padding the
+    # whole stack every outer iteration; zero-pad of mb_f bitcasts to an
+    # all-masks-off int row, same as padding after the stack)
+    return jnp.stack([pad_field(r, geo) for r in rows])
 
 
 def _unpack_masks(mb_f32):
@@ -553,9 +555,9 @@ def cg_pallas_pipelined_fromop_batched(
     else:
         F = jax.vmap(lambda o, g, k: stack_fields_packed(o, g, k, geo))(
             op, gm, ktw)
-    R0 = jax.vmap(lambda o, z: pad_field(
-        jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
-            z0t, jnp.float32))
+    R0 = jax.vmap(lambda o, z: jnp.stack(
+        [pad_field(r, geo) for r in (o.QB1, o.QB2, o.QB3, z)]))(
+            op, jnp.asarray(z0t, jnp.float32))
     zero = jnp.zeros((B,) + geo.shape, jnp.float32)
     T = jnp.stack([
         jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32)),

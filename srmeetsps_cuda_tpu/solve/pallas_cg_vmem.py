@@ -83,7 +83,12 @@ def stack_fields_rows(op, gm, ktw, geo, invd=None):
             gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, ktw]
     if invd is not None:
         rows.append(invd)
-    return pad_field(jnp.stack(rows), geo)
+    # Pad per row BEFORE stacking: inside the fused outer loop XLA carries
+    # the stacked buffer across iterations and in-place-DUSes only the
+    # rows that change; stack-then-pad instead re-pads the whole (nf, hp2,
+    # wp) stack every iteration (a ~110 MB r+w copy at 960x1280, visible
+    # as a standalone `pad` in the while-body HLO).
+    return jnp.stack([pad_field(r, geo) for r in rows])
 
 
 def vmem_th(h: int, w: int) -> int:
@@ -536,9 +541,9 @@ def cg_pallas_vmem_fromop_batched(
     else:
         F = jax.vmap(lambda o, g, k: stack_fn(o, g, k, geo))(
             op, gm, ktw)
-    R0 = jax.vmap(lambda o, z: pad_field(
-        jnp.stack([o.QB1, o.QB2, o.QB3, z]), geo))(op, jnp.asarray(
-            z0t, jnp.float32))
+    R0 = jax.vmap(lambda o, z: jnp.stack(
+        [pad_field(r, geo) for r in (o.QB1, o.QB2, o.QB3, z)]))(
+            op, jnp.asarray(z0t, jnp.float32))
     X = jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32))
     consts = jnp.stack([
         jnp.full((B,), jnp.float32(tol) ** 2),

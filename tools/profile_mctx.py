@@ -83,6 +83,12 @@ def main():
             sT, I, (((2,), (1,)), ((0,), (0,))), precision=HI,
             preferred_element_type=jnp.float32)
 
+    def j_einsum_bar(s, I):
+        # Hypothesis fix: barrier forces ONE materialisation of J so XLA
+        # cannot fuse the 295 MB I-contraction into each consumer
+        # (albedo num, B0/B1/B2, const) and re-stream I up to 5x.
+        return lax.optimization_barrier(j_einsum(s, I))
+
     def j_bcast(s, I):
         red = jnp.sum(I, axis=1).astype(jnp.float32)  # (c,P) one raw pass
         return (jnp.broadcast_to(red[:, None, :], (c, 4, P))
@@ -124,6 +130,7 @@ def main():
     c0 = (st.z, st.rho, st.s, st.N)
     for name, j_fn, stub in (
             ("einsum (prod)", j_einsum, False),
+            ("einsum + opt_barrier", j_einsum_bar, False),
             ("einsum, consumers stubbed", j_einsum, True),
             ("unroll-n elementwise", j_unroll, False),
             ("dot_general c-batch", j_dot, False),
