@@ -258,3 +258,40 @@ class TestRouting:
             SolverConfig(**base, pallas_vmem_resident=False))
         assert abs(int(k_v) - int(k_s)) <= 1
         np.testing.assert_allclose(float(e_v), float(e_s), rtol=1e-2)
+
+
+class TestPackEquivalence:
+    """The pad-per-row pack refactor (rows padded BEFORE stacking so XLA
+    can in-place-update the carried stack) must be bit-identical to the
+    original stack-then-pad form."""
+
+    def test_stack_fields_rows_matches_stack_then_pad(self, rng):
+        prob, st, mom, op = _problem(rng, 40, 36)
+        th = pvm.vmem_th(40, 36)
+        geo = pallas_cg.geometry(40, 36, th)
+        got = pvm.stack_fields_rows(op, prob.gm, prob.ktw, geo)
+        rows = jnp.stack([op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+                          prob.gm.fwd_x, prob.gm.bwd_x, prob.gm.fwd_y,
+                          prob.gm.bwd_y, prob.ktw])
+        want = pallas_cg.pad_field(rows, geo)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_stack_fields_packed_matches_stack_then_pad(self, rng):
+        from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+            stack_fields_packed)
+
+        prob, st, mom, op = _problem(rng, 40, 36)
+        geo = pallas_cg.geometry(
+            40, 36, pallas_cg.pick_th(40, 36, pipelined=True))
+        got = stack_fields_packed(op, prob.gm, prob.ktw, geo)
+        mb = (prob.gm.fwd_x.astype(jnp.int32)
+              | (prob.gm.bwd_x.astype(jnp.int32) << 1)
+              | (prob.gm.fwd_y.astype(jnp.int32) << 2)
+              | (prob.gm.bwd_y.astype(jnp.int32) << 3))
+        mb_f = jax.lax.bitcast_convert_type(mb, jnp.float32)
+        rows = jnp.stack([op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+                          prob.ktw, mb_f])
+        want = pallas_cg.pad_field(rows, geo)
+        got_i = jax.lax.bitcast_convert_type(got, jnp.int32)
+        want_i = jax.lax.bitcast_convert_type(want, jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
