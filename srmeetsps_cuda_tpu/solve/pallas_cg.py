@@ -65,6 +65,11 @@ TH = 64    # default band height; wide grids use smaller bands (pick_th)
 # Set True to run the kernels in the Pallas interpreter (CPU testing).
 INTERPRET = False
 
+# Trace-time flag restoring the legacy column-masked _shift (see its
+# docstring for why masking is dead work). Only interleaved profilers flip
+# this, to price the masking in-process; production traces with False.
+MASK_COLS = False
+
 # Field indices in the stacked F array.
 P11, P12, P13, P22, P23, P33, FX, BX, FY, BY, KTW = range(11)
 # Rows in the stacked CG state S.
@@ -75,14 +80,30 @@ def _shift(a, di, dj):
     """out[i, j] = a[i + di, j + dj] on a ring-banded block (static shifts).
 
     Circular roll: Mosaic lowers rotates natively, whereas minor-dim
-    concatenates of unaligned shapes fail to lower. COLUMN (lane) wraps
-    are masked to zero-fill — a wrapped column lands IN the interior.
-    ROW (sublane) wraps are deliberately NOT masked: every caller
-    operates on a band with an 8-row alignment ring whose outermost rows
-    are discarded, and the wrapped garbage propagates at most 4 rows
-    through the deepest stencil composition (the fromop/CGS prologue's
-    matvec-of-residual), so it never reaches an interior row. Dropping
-    the row iota+select saves ~2 VPU ops per shift in the hot kernels.
+    concatenates of unaligned shapes fail to lower. Neither ROW (sublane)
+    nor COLUMN (lane) wraps are masked — both are provably dead work:
+
+    * ROW wraps: every caller operates on a band with an 8-row alignment
+      ring whose outermost rows are discarded, and the wrapped garbage
+      propagates at most 4 rows through the deepest stencil composition
+      (the fromop/CGS prologue's matvec-of-residual), so it never reaches
+      an interior row.
+    * COLUMN wraps: every dj != 0 call site annihilates the wrapped lanes
+      with an exact zero multiply — (a) gradient applications multiply the
+      shifted operand by the fwd/bwd mask field, which is 0 in the wrap
+      destination column (image edge columns by the reference's
+      construction, SRPS.cu:31-46; padding columns by pad_field zeros);
+      (b) adjoint applications shift fields already mask-multiplied, so
+      the wrap *source* column is an exact 0; (c) _tilesum's internal
+      shifts wrap only into columns its own phase selection discards
+      (the widest surviving phase-0 column is wp - sf, while shift-by-e
+      garbage reaches only columns >= wp - e with e <= sf - 1). Since the
+      wrapped values are finite CG state (never Inf/NaN on the padded
+      planes), 0 * garbage == 0 and results are bit-identical to the
+      masked form. Dropping the per-shift iota+cmp+select saves ~2-3 VPU
+      ops x 6 column shifts per element per CG iteration in the
+      compute-bound resident kernel (tests/test_pallas_cg.py covers the
+      w == wp case where wraps land in real image columns).
     """
     h, w = a.shape
     out = a
@@ -90,9 +111,10 @@ def _shift(a, di, dj):
         out = pltpu.roll(out, (-di) % h, 0)
     if dj:
         out = pltpu.roll(out, (-dj) % w, 1)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        valid = (jj < w - dj) if dj > 0 else (jj >= -dj)
-        out = jnp.where(valid, out, 0.0)
+        if MASK_COLS:  # measurement-only: the legacy masked form
+            jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            valid = (jj < w - dj) if dj > 0 else (jj >= -dj)
+            out = jnp.where(valid, out, 0.0)
     return out
 
 

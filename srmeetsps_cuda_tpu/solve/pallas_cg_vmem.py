@@ -26,6 +26,14 @@ extra iteration, devicecalls.cu:229-279; same Jacobi rz recurrence with
 (band b+1 reads p_old ring rows that band b's interior write would
 otherwise have clobbered).
 
+The fused p-update inside sweep A is LOAD-BEARING: hoisting ``p = z +
+beta p`` into its own elementwise pass before the matvec sweep (either
+whole-plane or banded over interiors), which would drop the ping-pong
+plane and both parity selects, measures 51-53 us/CG-iter vs 27.5 for the
+fused form on one v5e (tools/profile_sweepv2.py, interleaved,
+bit-identical outputs) — the separate scratch pass serializes against
+the matvec sweep instead of overlapping with it. Do not "simplify" it.
+
 Geometry gate: (5 + NF) resident fields + compute temporaries must fit
 the scoped-VMEM budget — Mitten yes, 1080p no (falls back to the
 streaming kernel via estimate_depth's routing).
@@ -160,7 +168,10 @@ def _matvec_band(x, f, lam: float, sf: int, th: int, rows: bool = False):
     dyt = _shift(f2, -1, 0) - f2 + b2 - _shift(b2, 1, 0)
     xin = x[RING:RING + th, :]
     ktt = f[KTWR if rows else KTW, RING:RING + th, :] * _tilesum(xin, sf)
-    w = ktt + lam * (dxt + dyt - t3)[RING:RING + th, :]
+    grad = (dxt + dyt - t3)[RING:RING + th, :]
+    # lam is a trace-time Python float; at the reference default 1.0 the
+    # multiply is an exact no-op — skip emitting it.
+    w = ktt + (grad if lam == 1.0 else lam * grad)
     return w, xin
 
 
@@ -182,7 +193,6 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
     n_it = pl.num_programs(1)
     tol_sq = consts_ref[lane, 0]
     max_iter = consts_ref[lane, 2]
-    pv = (p0v, p1v)
 
     # ---------------- it == 0: load resident state + r0 prologue --------
     @pl.when(it == 0)
@@ -226,8 +236,9 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
                 q2 = fwd_y * q[1]
                 q2b = bwd_y * q[1]
                 dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
-                rhs = (q[3, RING:RING + TH, :]
-                       + lam * (dxq + dyq - q[2])[RING:RING + TH, :])
+                gq = (dxq + dyq - q[2])[RING:RING + TH, :]
+                rhs = q[3, RING:RING + TH, :] + (
+                    gq if lam == 1.0 else lam * gq)
                 r = rhs - w
                 rv[b * TH + RING:b * TH + RING + TH, :] = r
                 rr = rr + jnp.sum(r * r)
@@ -339,7 +350,7 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
     stays in VMEM across the whole solve; the 8 packed coefficient rows are
     re-streamed HBM->VMEM band-by-band (double-buffered) in the matvec
     sweep of every iteration.  Same grid/step structure and arithmetic as
-    :func:`_kernel_vmem`."""
+    :func:`_kernel_vmem` (including the load-bearing fused p-update)."""
     if jacobi:
         xv, rv, p0v, p1v, wv, fb, ivdv, scal, sems = refs
     else:
@@ -406,8 +417,9 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
                 q2 = fwd_y * q[1]
                 q2b = bwd_y * q[1]
                 dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
-                rhs = (q[3, RING:RING + TH, :]
-                       + lam * (dxq + dyq - q[2])[RING:RING + TH, :])
+                gq = (dxq + dyq - q[2])[RING:RING + TH, :]
+                rhs = q[3, RING:RING + TH, :] + (
+                    gq if lam == 1.0 else lam * gq)
                 r = rhs - w
                 rv[b * TH + RING:b * TH + RING + TH, :] = r
                 rr = rr + jnp.sum(r * r)

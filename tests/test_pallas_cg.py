@@ -80,6 +80,73 @@ class TestKernelMatvec:
             float(pw[0, 0]), float(np.vdot(r, w_want)), rtol=1e-3)
 
 
+class TestFullWidthWrap:
+    """w == wp (lane-count multiple): _shift's unmasked column rolls wrap
+    real edge columns into real edge columns, and the annihilation
+    contract (pallas_cg._shift docstring) is what keeps results exact.
+    An all-ones mask maximises exposure: columns 0 and w-1 are active, so
+    fwd/bwd masks at the image edge do the annihilating (with w < wp the
+    zero padding columns hide any violation)."""
+
+    def test_matvec_exact_at_full_width(self, rng):
+        h, w, sf = 32, 128, 2
+        mask = np.ones((h, w), np.float32)
+        n, c = 2, 3
+        I = rng.random((n, c, h, w)).astype(np.float32)
+        K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+        z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+        prob = srps.build_problem(I, mask, K, sf, z0s)
+        st = srps.init_state(
+            prob, (rng.random((h, w)).astype(np.float32) + 0.5))
+        mom = srps.s_moments(prob, st.s)
+        op = srps.build_depth_operator(prob, mom, st.rho, st.dz, 1.0)
+        r = rng.standard_normal((h, w)).astype(np.float32)
+        geo = pallas_cg.geometry(h, w)
+        assert geo.shape[1] == w, "fixture must exercise w == wp"
+        ktw = pallas_cg.make_ktw(prob.mask, prob.masks, sf)
+        F = pallas_cg.stack_fields(op, prob.gm, ktw, geo)
+        S = jnp.stack([
+            pallas_cg.pad_field(jnp.zeros((h, w), jnp.float32), geo),
+            pallas_cg.pad_field(jnp.asarray(r), geo),
+            jnp.zeros(geo.shape, jnp.float32),
+        ])
+        p0 = jnp.zeros(geo.shape, jnp.float32)
+        beta = jnp.zeros((1, 1), jnp.float32)
+        _, S_new, _ = pallas_cg._call_kernel_a(
+            S, p0, jnp.zeros(geo.shape, jnp.float32), F, beta, geo,
+            1.0, sf)
+        w_got = np.asarray(pallas_cg.unpad_field(S_new[pallas_cg.IW], geo))
+        w_want = np.asarray(
+            srps.depth_matvec(jnp.asarray(r), op, prob, sf, 1.0))
+        np.testing.assert_allclose(w_got, w_want, rtol=2e-4, atol=2e-4)
+
+    def test_vmem_kernel_full_width(self, rng):
+        from srmeetsps_cuda_tpu.solve import pallas_cg_vmem as pvm
+        from srmeetsps_cuda_tpu.solve.pallas_cg_pipe import (
+            cg_pallas_pipelined_fromop,
+        )
+
+        h, w, sf = 32, 128, 2
+        mask = np.ones((h, w), np.float32)
+        I = rng.random((2, 3, h, w)).astype(np.float32)
+        K = [[300.0, 0, w / 2 - 0.5], [0, 300.0, h / 2 - 0.5], [0, 0, 1]]
+        z0s = (rng.random((h // sf, w // sf)).astype(np.float32) + 0.5)
+        prob = srps.build_problem(I, mask, K, sf, z0s)
+        st = srps.init_state(
+            prob, (rng.random((h, w)).astype(np.float32) + 0.5))
+        mom = srps.s_moments(prob, st.s)
+        op = srps.build_depth_operator(prob, mom, st.rho, st.dz, 1.0)
+        x_s, k_s, _ = cg_pallas_pipelined_fromop(
+            st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+            tol=1e-4, max_iter=3)
+        x_v, k_v, _ = pvm.cg_pallas_vmem_fromop(
+            st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+            tol=1e-4, max_iter=3)
+        assert int(k_s) == int(k_v)
+        np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
+                                   rtol=5e-5, atol=5e-5)
+
+
 class TestFullCG:
     @pytest.mark.parametrize("sf", [2, 4])
     @pytest.mark.parametrize("fused", [False, True])
