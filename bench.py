@@ -471,6 +471,29 @@ def main():
     float(np.asarray(jnp.sum(last.z)))
     dt_sus = (time.perf_counter() - t0) / n_s
 
+    # Accuracy-matched fast preset (--fast: Jacobi CG @ cap 30): final
+    # energy within 0.01% of plain CG@100 on this workload at ~0.77x the
+    # device time (tools/profile_fast.py evidence run).
+    fast = {}
+    try:
+        cfg_f = SolverConfig(use_pallas=True, jacobi_preconditioner=True,
+                             cg_max_iter=30)
+        prob_f, st_f = prepare(data, cfg_f)
+        fin_f, _ = _jit_solve_fused(st_f, prob_f, sf, cfg_f)
+        float(np.asarray(jnp.sum(fin_f.z)))
+        best_f = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fin_f, _ = _jit_solve_fused(st_f, prob_f, sf, cfg_f)
+            float(np.asarray(jnp.sum(fin_f.z)))
+            best_f = min(best_f, time.perf_counter() - t0)
+        fast = {
+            "fast_solves_per_sec": round(1.0 / best_f, 4),
+            "fast_final_energy": float(fin_f.energy),
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        fast = {"fast_error": str(e)[:200]}
+
     solves_per_sec = 1.0 / dt
     result = {
         "metric": "mitten_sf2_e2e_solve",
@@ -484,6 +507,7 @@ def main():
         "final_energy": float(final.energy),
         "device": str(jax.devices()[0]),
         "dataset": ds or "synthetic",
+        **fast,
     }
     # The device metrics compile the Pallas kernel directly — gate on the
     # same support check estimate_depth uses and never let a failure here

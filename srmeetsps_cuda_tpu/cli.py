@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jacobi", action="store_true",
                    help="Jacobi-preconditioned depth CG (faster; the "
                    "reference uses plain CG)")
+    p.add_argument("--fast", action="store_true",
+                   help="accuracy-matched fast preset: Jacobi CG at cap 30 "
+                        "(final energy within 0.01%% of the reference plain "
+                        "CG@100 on Mitten at ~0.77x device time, "
+                        "tools/profile_fast.py); explicit --jacobi/"
+                        "--cg-max-iter still override")
     # Runtime.
     p.add_argument("--fused", action="store_true",
                    help="run the whole outer loop on-device (no per-iteration "
@@ -114,6 +120,12 @@ def main(argv=None) -> int:
 
         return load_image_dataset(loc)
 
+    if args.fast:
+        # Preset only where the user did not explicitly choose.
+        if not args.jacobi:
+            args.jacobi = True
+        if args.cg_max_iter == 100:
+            args.cg_max_iter = 30
     cfg = SolverConfig(
         tolerance=args.tolerance,
         max_iterations=args.max_iterations,

@@ -85,6 +85,11 @@ def _n_fields(jacobi: bool, rows: bool = False) -> int:
     return 9 if jacobi else 8
 
 
+# Resident coefficient planes of the stencil kernel: the 9-point stencil
+# rows, ordered [C0, C+x, C-x, C+y, C-y, C+x+y, C+x-y, C-x+y, C-x-y].
+N_STENCIL = 9
+
+
 def stack_fields_rows(op, gm, ktw, geo, invd=None):
     """(11(+1), Hp+2R, Wp) coefficient stack with unpacked mask rows."""
     rows = [op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,

@@ -109,6 +109,31 @@ def test_cli_images_dataset(rng, tmp_path):
          "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
 
 
+def test_cli_fast_preset(rng, tmp_path):
+    """--fast = Jacobi CG @ cap 30; the preset must not override explicit
+    --cg-max-iter and must produce a sane trajectory."""
+    I, mask, K, z0, sf = _synth_arrays(rng)
+    mat = str(tmp_path / "ds.mat")
+    _write_mat(mat, I, mask, K, z0, sf)
+    out = str(tmp_path / "out")
+    es = _run_and_check(
+        ["--dstype", "matlab", "--dsloc", mat, "--max-iterations", "2",
+         "--fast", "--dump", "--dump-dir", out, "--dump-format", "npz",
+         "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
+    assert es[-1] <= es[0] * 1.5
+
+    # Explicit cap wins over the preset's 30 (observable via cg_iterations
+    # in the metrics: cap 3 admits at most 4 iterations, reference quirk).
+    out2 = str(tmp_path / "out2")
+    cli.main(["--dstype", "matlab", "--dsloc", mat, "--max-iterations", "1",
+              "--fast", "--cg-max-iter", "3", "--dump-dir", out2,
+              "--metrics-jsonl", os.path.join(out2, "metrics.jsonl")])
+    with open(os.path.join(out2, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    cg_iters = [r["cg_iterations"] for r in recs if "cg_iterations" in r]
+    assert cg_iters and all(k <= 4 for k in cg_iters)
+
+
 def test_cli_batched_multi_dataset(rng, tmp_path):
     """Comma-separated --dsloc solves several objects in lockstep and
     writes per-object output subdirectories."""
