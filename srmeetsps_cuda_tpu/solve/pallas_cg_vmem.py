@@ -112,13 +112,16 @@ def vmem_th(h: int, w: int) -> int:
 
 def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
               _check_backend: bool = True):
-    """Residency mode this grid supports: ``"full"`` (state + coefficient
-    fields all resident with unpacked mask rows, zero HBM traffic in the
-    loop), ``"full_packed"`` (same residency, 8-row packed-bitmask layout
-    — mid-size grids where the 3 extra mask rows don't fit),
-    ``"hybrid"`` (CG state resident, the 8 packed F rows re-streamed
-    band-by-band each iteration — 1080p-class grids), or ``None``
-    (too big: streaming kernels)."""
+    """Residency mode this grid supports: ``"full_stencil"`` (sf <= 2:
+    state + the 9 collapsed stencil coefficient planes resident, built
+    in-kernel from the F pack in the it=0 prologue — the cheapest
+    iteration sweep, see :func:`_build_c_band`), ``"full"`` (state +
+    coefficient fields all resident with unpacked mask rows, zero HBM
+    traffic in the loop), ``"full_packed"`` (same residency, 8-row
+    packed-bitmask layout — mid-size grids where the 3 extra mask rows
+    don't fit), ``"hybrid"`` (CG state resident, the 8 packed F rows
+    re-streamed band-by-band each iteration — 1080p-class grids), or
+    ``None`` (too big: streaming kernels)."""
     if (_check_backend and not _pcg.INTERPRET
             and jax.default_backend() not in ("tpu", "axon")):
         return None
@@ -131,6 +134,13 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     # prologue band buffer (4 R0 rows) + compute temps ride in the slack
     temps = 16 * tb * wp * 4
     plane = hp2 * wp * 4
+    # stencil prologue streams the 11 F rows double-buffered + 4 R0 rows
+    # and holds the C-build temporaries
+    temps_st = 30 * tb * wp * 4
+    if (sf in (1, 2)
+            and (5 + N_STENCIL + (1 if jacobi else 0)) * plane + temps_st
+            <= VMEM_BUDGET):
+        return "full_stencil"
     if (5 + _n_fields(jacobi, rows=True)) * plane + temps <= VMEM_BUDGET:
         return "full"
     if (5 + _n_fields(jacobi)) * plane + temps <= VMEM_BUDGET:
@@ -178,6 +188,287 @@ def _matvec_band(x, f, lam: float, sf: int, th: int, rows: bool = False):
     # multiply is an exact no-op — skip emitting it.
     w = ktt + (grad if lam == 1.0 else lam * grad)
     return w, xin
+
+
+def _build_c_band(f, lam: float, sf: int, th: int):
+    """One band of the 9-point stencil collapse of ``M = KT^T KT +
+    lam A^T A``: returns the (9, th, wp) interior coefficient rows
+    ``[C0, C+x, C-x, C+y, C-y, C+x+y, C+x-y, C-x+y, C-x-y]`` with
+    ``(M v)[i] = sum_d C_d[i] * v[i + d]``.
+
+    Expanding ``Dx' P Dx``-type products with the exclusive fwd/bwd
+    gradient masks (a*b = 0, a^2 = a, SRPS.cu:31-46 semantics) kills all
+    +-2 offsets, so A^T A has exactly 3x3 support; for sf <= 2 the box
+    resample's tile mates also lie within +-1, so KT^T KT (phase-split
+    ktw) and the trace-time ``lam`` fold into the same 9 planes. Column
+    wraps of the lane shifts read exact zeros (edge masks vanish in the
+    wrap source column — same dead-wrap contract as _shift's docstring),
+    and because ax=0 on the last masked column / bx=0 on the first, the
+    built C is exactly 0 wherever an x-neighbor read would wrap, keeping
+    the iteration sweep roll-only with no masking.
+    """
+    assert sf in (1, 2)
+    R = RING
+    sl = slice(R, R + th)
+    P11_, P12_, P13_ = f[P11], f[P12], f[P13]
+    P22_, P23_, P33_ = f[P22], f[P23], f[P33]
+    ax, bx, ay, by = f[FXR], f[BXR], f[FYR], f[BYR]
+    cx = ax - bx
+    cy = ay - by
+    # one-sided mask-folded field combinations (E: x-direction, F: y)
+    E1 = ax * (P11_ + cy * P12_ + P13_)
+    E2 = bx * (P11_ - cy * P12_ - P13_)
+    F1 = ay * (P22_ + cx * P12_ + P23_)
+    F2 = by * (P22_ - cx * P12_ - P23_)
+    paa = ax * ay * P12_
+    pab = ax * by * P12_
+    pba = bx * ay * P12_
+    pbb = bx * by * P12_
+    # Sh(f, +ex)[i] = f[i+ex] = _shift(f, 0, 1); +ey = _shift(f, 1, 0).
+    cpe = -(E1 + _shift(E2, 0, 1))
+    cme = -(_shift(E1, 0, -1) + E2)
+    cpy = -(F1 + _shift(F2, 1, 0))
+    cmy = -(_shift(F1, -1, 0) + F2)
+    cpp = -(_shift(pba, 0, 1) + _shift(pab, 1, 0))
+    cpm = _shift(pbb, 0, 1) + _shift(paa, -1, 0)
+    cmp_ = _shift(paa, 0, -1) + _shift(pbb, 1, 0)
+    cmm = -(_shift(pab, 0, -1) + _shift(pba, -1, 0))
+    c0 = (_shift(ax * P11_, 0, -1) + (ax + bx) * P11_
+          + _shift(bx * P11_, 0, 1)
+          + _shift(ay * P22_, -1, 0) + (ay + by) * P22_
+          + _shift(by * P22_, 1, 0)
+          + 2.0 * (cx * cy * P12_ + cx * P13_ + cy * P23_) + P33_)
+    cs = [c0, cpe, cme, cpy, cmy, cpp, cpm, cmp_, cmm]
+    cs = [c[sl] for c in cs]
+    if lam != 1.0:
+        cs = [lam * c for c in cs]
+    # Fold KT^T KT: for sf=2 a pixel's tile mates sit at the offsets its
+    # even/odd row/col phases select (RING is even and the width pad is
+    # trailing, so padded-plane phases equal image phases).
+    ktw = f[KTWR, sl, :]
+    if sf == 1:
+        cs[0] = cs[0] + ktw
+    else:
+        wp = ktw.shape[-1]
+        jj = lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+        ii = lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+        pxe = jj % 2 == 0
+        pye = ii % 2 == 0
+        zero = jnp.zeros_like(ktw)
+        kxe = jnp.where(pxe, ktw, zero)
+        kxo = ktw - kxe
+        cs[0] = cs[0] + ktw
+        cs[1] = cs[1] + kxe
+        cs[2] = cs[2] + kxo
+        cs[3] = cs[3] + jnp.where(pye, ktw, zero)
+        cs[4] = cs[4] + jnp.where(pye, zero, ktw)
+        cs[5] = cs[5] + jnp.where(pye, kxe, zero)
+        cs[6] = cs[6] + jnp.where(pye, zero, kxe)
+        cs[7] = cs[7] + jnp.where(pye, kxo, zero)
+        cs[8] = cs[8] + jnp.where(pye, zero, kxo)
+    return jnp.stack(cs)
+
+
+def _stencil_w(p, c, th: int):
+    """``w = M p`` on one ring-banded block via the resident 9-point
+    stencil: 2 lane rolls + 6 sublane rolls + 9 multiply-adds — no mask
+    algebra, no tilesum, no lam multiply (all folded into ``c``)."""
+    R = RING
+    sl = slice(R, R + th)
+    pe = _shift(p, 0, 1)
+    pw = _shift(p, 0, -1)
+    return (c[0] * p[sl] + c[1] * pe[sl] + c[2] * pw[sl]
+            + c[3] * _shift(p, 1, 0)[sl] + c[4] * _shift(p, -1, 0)[sl]
+            + c[5] * _shift(pe, 1, 0)[sl] + c[6] * _shift(pe, -1, 0)[sl]
+            + c[7] * _shift(pw, 1, 0)[sl] + c[8] * _shift(pw, -1, 0)[sl])
+
+
+def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
+                         X_out, iters_ref, r1_ref,
+                         *refs, lam: float, sf: int, n_bands: int, th: int,
+                         jacobi: bool):
+    """Stencil-resident CG: same grid/step structure, bookkeeping, and
+    stopping semantics as :func:`_kernel_vmem`, but the iteration sweeps
+    apply ``M`` through 9 resident collapsed coefficient planes that the
+    it=0 prologue builds in-kernel from the streamed 11(+1)-row F pack
+    (:func:`_build_c_band`) — the per-element cost of sweep A drops from
+    ~40 VPU ops + 8 rolls (mask-gated gradient/adjoint chain + tilesum)
+    to 9 multiply-adds + 8 rolls."""
+    if jacobi:
+        xv, rv, p0v, p1v, wv, cv, ivdv, scal, sems = refs
+    else:
+        xv, rv, p0v, p1v, wv, cv, scal, sems = refs
+        ivdv = None
+    TH = th
+    TB = TH + 2 * RING
+    lane = pl.program_id(0)
+    it = pl.program_id(1)
+    n_it = pl.num_programs(1)
+    tol_sq = consts_ref[lane, 0]
+    max_iter = consts_ref[lane, 2]
+
+    # ------ it == 0: load state, build resident C, r0 prologue ----------
+    @pl.when(it == 0)
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_ACT] = 1.0
+        iters_ref[lane, 0] = 0.0
+
+        cp_x = pltpu.make_async_copy(X_hbm.at[lane], xv, sems.at[2])
+        cp_x.start()
+        if jacobi:
+            cp_i = pltpu.make_async_copy(F_hbm.at[lane, IVDR], ivdv,
+                                         sems.at[3])
+            cp_i.start()
+        zero = jnp.zeros_like(p0v)
+        p0v[...] = zero
+        p1v[...] = zero
+        wv[...] = zero
+        rv[...] = zero
+        # ring + padding rows of C must be exact zeros (the sweeps read
+        # only interior C rows, but zeros keep any future epilogue safe)
+        cv[...] = jnp.zeros_like(cv)
+        cp_x.wait()
+        if jacobi:
+            cp_i.wait()
+
+        def body(fb, q_buf, fsem, qsem):
+            def f_copy(b, cur):
+                return pltpu.make_async_copy(
+                    F_hbm.at[lane, pl.ds(0, 11), pl.ds(b * TH, TB), :],
+                    fb.at[cur], fsem.at[cur])
+
+            rr = jnp.float32(0.0)
+            rz = jnp.float32(0.0)
+            f_copy(0, 0).start()
+            for b in range(n_bands):
+                cur = b % 2
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).start()
+                if b + 1 < n_bands:
+                    f_copy(b + 1, 1 - cur).start()
+                f_copy(b, cur).wait()
+                f = fb.at[cur]
+                c_band = _build_c_band(f, lam, sf, TH)
+                sl_i = slice(b * TH + RING, b * TH + RING + TH)
+                cv[:, sl_i, :] = c_band
+                x = xv[b * TH:b * TH + TB, :]
+                w = _stencil_w(x, c_band, TH)
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).wait()
+                q = q_buf
+                fwd_x, bwd_x, fwd_y, bwd_y = (f[FXR], f[BXR], f[FYR],
+                                              f[BYR])
+                q1 = fwd_x * q[0]
+                q1b = bwd_x * q[0]
+                dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
+                q2 = fwd_y * q[1]
+                q2b = bwd_y * q[1]
+                dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
+                gq = (dxq + dyq - q[2])[RING:RING + TH, :]
+                rhs = q[3, RING:RING + TH, :] + (
+                    gq if lam == 1.0 else lam * gq)
+                r = rhs - w
+                rv[sl_i, :] = r
+                rr = rr + jnp.sum(r * r)
+                if jacobi:
+                    rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+            scal[0, S_R1] = rz if jacobi else rr
+            if jacobi:
+                scal[0, S_RR2] = rr
+            r1_ref[lane, 0] = rr
+
+        pl.run_scoped(
+            body,
+            fb=pltpu.VMEM((2, 11, TB, X_hbm.shape[-1]), jnp.float32),
+            q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
+            fsem=pltpu.SemaphoreType.DMA((2,)),
+            qsem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    # ---------------- iteration steps --------------------------------
+    is_iter = (it >= 1) & (it < n_it - 1)
+
+    @pl.when(is_iter)
+    def _():
+        r1 = scal[0, S_R1]
+        stop_dot = scal[0, S_RR2] if jacobi else r1
+        active = jnp.where(
+            (stop_dot > tol_sq)
+            & ((it - 1).astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(
+            it == 1, 0.0,
+            r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[lane, 0] += 1.0
+
+    active = (scal[0, S_ACT] > 0.0) & is_iter
+
+    @pl.when(active)
+    def _():
+        beta = scal[0, S_BETA]
+        par = lax.rem(it - 1, 2)
+
+        # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw = <p, w>
+        pw = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_b = slice(b * TH, b * TH + TB)
+            r = rv[sl_b, :]
+            p_old = jnp.where(par == 0, p0v[sl_b, :], p1v[sl_b, :])
+            if jacobi:
+                z = r * ivdv[sl_b, :]
+            else:
+                z = r
+            p = z + beta * p_old
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            w = _stencil_w(p, cv[:, sl_i, :], TH)
+            pin = p[RING:RING + TH, :]
+
+            @pl.when(par == 0)
+            def _():
+                p1v[sl_i, :] = pin
+
+            @pl.when(par == 1)
+            def _():
+                p0v[sl_i, :] = pin
+
+            wv[sl_i, :] = w
+            pw = pw + jnp.sum(pin * w)
+        scal[0, S_PW] = pw
+        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+
+        # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
+        alpha = scal[0, S_ALPHA]
+        rr = jnp.float32(0.0)
+        rz = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            p_new = jnp.where(par == 0, p1v[sl_i, :], p0v[sl_i, :])
+            x = xv[sl_i, :] + alpha * p_new
+            r = rv[sl_i, :] - alpha * wv[sl_i, :]
+            xv[sl_i, :] = x
+            rv[sl_i, :] = r
+            rr = rr + jnp.sum(r * r)
+            if jacobi:
+                rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+        scal[0, S_R0] = scal[0, S_R1]
+        scal[0, S_R1] = rz if jacobi else rr
+        if jacobi:
+            scal[0, S_RR2] = rr
+        r1_ref[lane, 0] = rr
+
+    # ---------------- epilogue: write x back --------------------------
+    @pl.when(it == n_it - 1)
+    def _():
+        cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
+        cp.start()
+        cp.wait()
 
 
 def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
@@ -549,7 +840,7 @@ def cg_pallas_vmem_fromop_batched(
         raise ValueError(
             f"grid {h}x{w} exceeds the resident-kernel VMEM budget "
             "(gate on supported_vmem)")
-    rows = mode == "full"
+    rows = mode in ("full", "full_stencil")
     stack_fn = stack_fields_rows if rows else stack_fields_packed
     if jacobi:
         F = jax.vmap(lambda o, g, k, i: stack_fn(
@@ -578,7 +869,15 @@ def cg_pallas_vmem_fromop_batched(
         pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
         pltpu.VMEM((hp2, wp), jnp.float32),       # w
     ]
-    if mode in ("full", "full_packed"):
+    if mode == "full_stencil":
+        kern_fn = _kernel_vmem_stencil
+        scratch = state + [
+            pltpu.VMEM((N_STENCIL, hp2, wp), jnp.float32),  # C resident
+        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+    elif mode in ("full", "full_packed"):
         kern_fn = functools.partial(_kernel_vmem, rows=rows)
         scratch = state + [
             pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F resident

@@ -227,11 +227,61 @@ class TestFullPackedMode:
                                        **tol)
 
 
+class TestFullModeForced:
+    """The direct (mask-gated matvec) resident kernel still serves sf=4
+    and grids past the stencil budget; small sf<=2 grids now naturally
+    route to the stencil kernel, so force "full" to keep covering it."""
+
+    @pytest.fixture(autouse=True)
+    def force_full(self, monkeypatch):
+        monkeypatch.setattr(pvm, "vmem_mode", lambda *a, **k: "full")
+
+    @pytest.mark.parametrize("sf", [1, 2])
+    def test_matches_streaming_fromop(self, rng, sf):
+        h, w = 40, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        for mi, rtol in [(2, 5e-5), (12, 3e-2)]:
+            x_s, k_s, r_s = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_v, k_v, r_v = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_v)) <= 1
+            np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
+                                       rtol=rtol, atol=rtol)
+
+
+class TestStencilWrapColumns:
+    """w == wp: lane rolls wrap real image columns; the built C must be
+    exactly zero there (edge-mask argument in _build_c_band)."""
+
+    def test_w_equals_wp(self, rng):
+        h, w, sf = 24, 128, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        assert pvm.vmem_mode(h, w, sf,
+                             _check_backend=False) == "full_stencil"
+        for mi, rtol in [(2, 5e-5), (12, 3e-2)]:
+            x_s, k_s, _ = cg_pallas_pipelined_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            x_v, k_v, _ = pvm.cg_pallas_vmem_fromop(
+                st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                tol=1e-4, max_iter=mi)
+            assert abs(int(k_s) - int(k_v)) <= 1
+            np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
+                                       rtol=rtol, atol=rtol)
+
+
 class TestModeTable:
     def test_mode_by_size(self):
-        assert pvm.vmem_mode(960, 1280, 2, _check_backend=False) == "full"
-        assert pvm.vmem_mode(960, 1280, 2, jacobi=True,
-                             _check_backend=False) == "full"
+        # Mitten-class, sf<=2: the 9-plane stencil collapse is preferred.
+        assert (pvm.vmem_mode(960, 1280, 2, _check_backend=False)
+                == "full_stencil")
+        assert (pvm.vmem_mode(960, 1280, 2, jacobi=True,
+                              _check_backend=False) == "full_stencil")
+        # sf=4: tile mates exceed the 3x3 stencil support — direct kernel.
+        assert pvm.vmem_mode(960, 1280, 4, _check_backend=False) == "full"
         # Mid-size: the 11-row layout overflows the budget, the 8-row
         # packed one still fits fully resident.
         assert pvm.vmem_mode(1024, 1664, 2,

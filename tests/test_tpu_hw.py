@@ -214,6 +214,27 @@ def test_vmem_resident_kernel_on_hw(problem):
     _check(x, k, res_j)
 
 
+def test_vmem_full_mode_forced_on_hw(problem):
+    """sf<=2 now routes to the 9-point stencil collapse ("full_stencil");
+    force "full" so the direct mask-gated resident kernel (still the sf=4
+    route) stays Mosaic-compile-covered on hardware."""
+    from srmeetsps_cuda_tpu.solve import pallas_cg_vmem as pvm
+
+    prob, st, op, sf = problem
+    h, w = np.asarray(prob.mask).shape
+    assert pvm.vmem_mode(h, w, sf, _check_backend=False) == "full_stencil"
+    _, res = _ref(prob, st, op, sf, 8)
+    real = pvm.vmem_mode
+    try:
+        pvm.vmem_mode = lambda *a, **k: "full"
+        x, k, _ = pvm.cg_pallas_vmem_fromop(
+            st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+            tol=1e-4, max_iter=8)
+    finally:
+        pvm.vmem_mode = real
+    _check(x, k, res)
+
+
 def test_vmem_resident_batched_on_hw(problem):
     import jax
     import jax.numpy as jnp
