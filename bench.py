@@ -379,23 +379,38 @@ def device_metrics(prob, state, sf, cfg):
 
     s_per_iter_prod = None
     if _pvm.supported_vmem(h_z := st.z.shape[0], w_z := st.z.shape[1], sf):
-        def cg_vmem_call(mi):
-            f = jax.jit(functools.partial(
-                _pvm.cg_pallas_vmem_fromop, sf=sf, lam=cfg.lam,
-                tol=1e-30, max_iter=mi))
-            np.asarray(f(st.z, op, prob.gm, ktw, prob.z0t)[0])
+        # Chain N=8 kernel calls per sample: at the stencil kernel's
+        # ~15 us/iter a single 100-vs-25 cap difference is ~1 ms — smaller
+        # than the tunnel's dispatch jitter, which once produced a
+        # NEGATIVE marginal here. The chain multiplies the signal 8x.
+        def cg_vmem_chain(n_calls, z, mi):
+            def body(i, carry):
+                zc, ka = carry
+                x, kk, r1 = _pvm.cg_pallas_vmem_fromop(
+                    zc, op, prob.gm, ktw, prob.z0t, sf=sf, lam=cfg.lam,
+                    tol=1e-30, max_iter=mi)
+                return (z * (1.0 + 1e-38 * r1), ka + kk)
+            return lax.fori_loop(0, n_calls, body, (z, jnp.int32(0)))
+
+        f_chain = jax.jit(cg_vmem_chain, static_argnums=(0, 2))
+
+        def cg_vmem_call(mi, n_calls=8):
+            z, k = f_chain(n_calls, st.z, mi)
+            np.asarray(z)  # compile + warm
             best = 1e9
             for _ in range(5):
                 t0 = time.perf_counter()
-                x, k, r1 = f(st.z, op, prob.gm, ktw, prob.z0t)
-                np.asarray(x.sum())
+                z, k = f_chain(n_calls, st.z, mi)
+                np.asarray(jnp.sum(z))
                 best = min(best, time.perf_counter() - t0)
-            return best
+            return best, int(np.asarray(k))
 
         # caps 100/25 (the production regime): at cap 400 the f32 residual
         # can underflow to exact 0 late in the solve and the kernel's
         # predicated skip would understate the per-iteration cost
-        s_per_iter_prod = (cg_vmem_call(100) - cg_vmem_call(25)) / 75
+        t_hi, k_hi = cg_vmem_call(100)
+        t_lo, k_lo = cg_vmem_call(25)
+        s_per_iter_prod = (t_hi - t_lo) / (k_hi - k_lo)
 
     # Bytes model of one pipelined CG iteration (see pallas_cg_pipe._kernel):
     # phase 0 reads (r, p, 8 packed F rows) x TB-row bands and writes

@@ -146,6 +146,12 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     if (5 + _n_fields(jacobi)) * plane + temps <= VMEM_BUDGET:
         return "full_packed"
     state = (5 + (1 if jacobi else 0)) * plane
+    # stencil-hybrid: state resident, the 9 C rows (built once into an
+    # HBM scratch by the prologue) re-streamed interior-only per band —
+    # fewer bytes AND ~1/4 the arithmetic of the packed-F hybrid.
+    cwin = 2 * N_STENCIL * th * wp * 4
+    if sf in (1, 2) and state + cwin + temps_st <= VMEM_BUDGET:
+        return "hybrid_stencil"
     fbuf = 2 * 8 * tb * wp * 4
     if state + fbuf + temps <= VMEM_BUDGET:
         return "hybrid"
@@ -429,6 +435,216 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             sl_i = slice(b * TH + RING, b * TH + RING + TH)
             w = _stencil_w(p, cv[:, sl_i, :], TH)
             pin = p[RING:RING + TH, :]
+
+            @pl.when(par == 0)
+            def _():
+                p1v[sl_i, :] = pin
+
+            @pl.when(par == 1)
+            def _():
+                p0v[sl_i, :] = pin
+
+            wv[sl_i, :] = w
+            pw = pw + jnp.sum(pin * w)
+        scal[0, S_PW] = pw
+        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+
+        # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
+        alpha = scal[0, S_ALPHA]
+        rr = jnp.float32(0.0)
+        rz = jnp.float32(0.0)
+        for b in range(n_bands):
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            p_new = jnp.where(par == 0, p1v[sl_i, :], p0v[sl_i, :])
+            x = xv[sl_i, :] + alpha * p_new
+            r = rv[sl_i, :] - alpha * wv[sl_i, :]
+            xv[sl_i, :] = x
+            rv[sl_i, :] = r
+            rr = rr + jnp.sum(r * r)
+            if jacobi:
+                rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+        scal[0, S_R0] = scal[0, S_R1]
+        scal[0, S_R1] = rz if jacobi else rr
+        if jacobi:
+            scal[0, S_RR2] = rr
+        r1_ref[lane, 0] = rr
+
+    # ---------------- epilogue: write x back --------------------------
+    @pl.when(it == n_it - 1)
+    def _():
+        cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
+        cp.start()
+        cp.wait()
+
+
+def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
+                                X_out, iters_ref, r1_ref, C_hbm,
+                                *refs, lam: float, sf: int, n_bands: int,
+                                th: int, jacobi: bool):
+    """Stencil-hybrid residency (1080p-class, sf <= 2): CG state stays in
+    VMEM across the whole solve; the it=0 prologue streams the 11(+1)-row
+    F pack band-by-band, builds the 9 collapsed stencil rows
+    (:func:`_build_c_band`), and writes them to the ``C_hbm`` scratch
+    output; every iteration then re-streams ONLY the 9 interior C rows
+    per band (9*TH rows vs the packed-F hybrid's 8*(TH+2R)) and applies
+    the matvec as 9 multiply-adds — less DMA and ~1/4 the arithmetic."""
+    if jacobi:
+        xv, rv, p0v, p1v, wv, cb, ivdv, scal, sems = refs
+    else:
+        xv, rv, p0v, p1v, wv, cb, scal, sems = refs
+        ivdv = None
+    TH = th
+    TB = TH + 2 * RING
+    lane = pl.program_id(0)
+    it = pl.program_id(1)
+    n_it = pl.num_programs(1)
+    tol_sq = consts_ref[lane, 0]
+    max_iter = consts_ref[lane, 2]
+
+    def _c_in_copy(b, cur):
+        return pltpu.make_async_copy(
+            C_hbm.at[lane, :, pl.ds(b * TH, TH), :], cb.at[cur],
+            sems.at[cur])
+
+    # ------ it == 0: load state, build C -> HBM scratch, r0 prologue ----
+    @pl.when(it == 0)
+    def _():
+        scal[0, S_R0] = 0.0
+        scal[0, S_ACT] = 1.0
+        iters_ref[lane, 0] = 0.0
+
+        cp_x = pltpu.make_async_copy(X_hbm.at[lane], xv, sems.at[2])
+        cp_x.start()
+        if jacobi:
+            cp_i = pltpu.make_async_copy(F_hbm.at[lane, IVDR], ivdv,
+                                         sems.at[3])
+            cp_i.start()
+        zero = jnp.zeros_like(p0v)
+        p0v[...] = zero
+        p1v[...] = zero
+        wv[...] = zero
+        rv[...] = zero
+        cp_x.wait()
+        if jacobi:
+            cp_i.wait()
+
+        def body(fb, q_buf, fsem, qsem, osem):
+            def f_copy(b, cur):
+                return pltpu.make_async_copy(
+                    F_hbm.at[lane, pl.ds(0, 11), pl.ds(b * TH, TB), :],
+                    fb.at[cur], fsem.at[cur])
+
+            def c_out_copy(b, cur):
+                return pltpu.make_async_copy(
+                    cb.at[cur], C_hbm.at[lane, :, pl.ds(b * TH, TH), :],
+                    osem.at[cur])
+
+            rr = jnp.float32(0.0)
+            rz = jnp.float32(0.0)
+            f_copy(0, 0).start()
+            for b in range(n_bands):
+                cur = b % 2
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).start()
+                if b + 1 < n_bands:
+                    f_copy(b + 1, 1 - cur).start()
+                f_copy(b, cur).wait()
+                f = fb.at[cur]
+                c_band = _build_c_band(f, lam, sf, TH)
+                if b >= 2:
+                    # slot reused: the copy-out from band b-2 must land
+                    c_out_copy(b - 2, cur).wait()
+                cb[cur] = c_band
+                c_out_copy(b, cur).start()
+                x = xv[b * TH:b * TH + TB, :]
+                w = _stencil_w(x, c_band, TH)
+                pltpu.make_async_copy(
+                    R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                    q_buf, qsem).wait()
+                q = q_buf
+                fwd_x, bwd_x, fwd_y, bwd_y = (f[FXR], f[BXR], f[FYR],
+                                              f[BYR])
+                q1 = fwd_x * q[0]
+                q1b = bwd_x * q[0]
+                dxq = _shift(q1, 0, -1) - q1 + q1b - _shift(q1b, 0, 1)
+                q2 = fwd_y * q[1]
+                q2b = bwd_y * q[1]
+                dyq = _shift(q2, -1, 0) - q2 + q2b - _shift(q2b, 1, 0)
+                gq = (dxq + dyq - q[2])[RING:RING + TH, :]
+                rhs = q[3, RING:RING + TH, :] + (
+                    gq if lam == 1.0 else lam * gq)
+                r = rhs - w
+                sl_i = slice(b * TH + RING, b * TH + RING + TH)
+                rv[sl_i, :] = r
+                rr = rr + jnp.sum(r * r)
+                if jacobi:
+                    rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+            # drain the last (up to) two outstanding C copies
+            for b in (n_bands - 2, n_bands - 1):
+                if b >= 0:
+                    c_out_copy(b, b % 2).wait()
+            scal[0, S_R1] = rz if jacobi else rr
+            if jacobi:
+                scal[0, S_RR2] = rr
+            r1_ref[lane, 0] = rr
+
+        pl.run_scoped(
+            body,
+            fb=pltpu.VMEM((2, 11, TB, X_hbm.shape[-1]), jnp.float32),
+            q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
+            fsem=pltpu.SemaphoreType.DMA((2,)),
+            qsem=pltpu.SemaphoreType.DMA(()),
+            osem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    # ---------------- iteration steps --------------------------------
+    is_iter = (it >= 1) & (it < n_it - 1)
+
+    @pl.when(is_iter)
+    def _():
+        r1 = scal[0, S_R1]
+        stop_dot = scal[0, S_RR2] if jacobi else r1
+        active = jnp.where(
+            (stop_dot > tol_sq)
+            & ((it - 1).astype(jnp.float32) <= max_iter),
+            scal[0, S_ACT], 0.0)
+        scal[0, S_ACT] = active
+        scal[0, S_BETA] = jnp.where(
+            it == 1, 0.0,
+            r1 / jnp.where(scal[0, S_R0] == 0.0, 1.0, scal[0, S_R0]))
+
+        @pl.when(active > 0.0)
+        def _():
+            iters_ref[lane, 0] += 1.0
+
+    active = (scal[0, S_ACT] > 0.0) & is_iter
+
+    @pl.when(active)
+    def _():
+        beta = scal[0, S_BETA]
+        par = lax.rem(it - 1, 2)
+
+        # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw;
+        # C interior bands stream in double-buffered under the compute.
+        pw = jnp.float32(0.0)
+        _c_in_copy(0, 0).start()
+        for b in range(n_bands):
+            cur = b % 2
+            if b + 1 < n_bands:
+                _c_in_copy(b + 1, 1 - cur).start()
+            _c_in_copy(b, cur).wait()
+            sl_b = slice(b * TH, b * TH + TB)
+            r = rv[sl_b, :]
+            p_old = jnp.where(par == 0, p0v[sl_b, :], p1v[sl_b, :])
+            if jacobi:
+                z = r * ivdv[sl_b, :]
+            else:
+                z = r
+            p = z + beta * p_old
+            w = _stencil_w(p, cb[cur], TH)
+            pin = p[RING:RING + TH, :]
+            sl_i = slice(b * TH + RING, b * TH + RING + TH)
 
             @pl.when(par == 0)
             def _():
@@ -840,7 +1056,7 @@ def cg_pallas_vmem_fromop_batched(
         raise ValueError(
             f"grid {h}x{w} exceeds the resident-kernel VMEM budget "
             "(gate on supported_vmem)")
-    rows = mode in ("full", "full_stencil")
+    rows = mode in ("full", "full_stencil", "hybrid_stencil")
     stack_fn = stack_fields_rows if rows else stack_fields_packed
     if jacobi:
         F = jax.vmap(lambda o, g, k, i: stack_fn(
@@ -869,6 +1085,8 @@ def cg_pallas_vmem_fromop_batched(
         pltpu.VMEM((hp2, wp), jnp.float32),       # p pong
         pltpu.VMEM((hp2, wp), jnp.float32),       # w
     ]
+    extra_out_specs = []
+    extra_out_shapes = []
     if mode == "full_stencil":
         kern_fn = _kernel_vmem_stencil
         scratch = state + [
@@ -877,6 +1095,19 @@ def cg_pallas_vmem_fromop_batched(
             pltpu.SMEM((1, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
+    elif mode == "hybrid_stencil":
+        kern_fn = _kernel_vmem_hybrid_stencil
+        scratch = state + [
+            pltpu.VMEM((2, N_STENCIL, geo.th, wp), jnp.float32),  # C window
+        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+        # HBM scratch the prologue fills with the stencil planes (interior
+        # rows only) and the iterations re-stream.
+        extra_out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+        extra_out_shapes = [jax.ShapeDtypeStruct(
+            (B, N_STENCIL, geo.hp, wp), jnp.float32)]
     elif mode in ("full", "full_packed"):
         kern_fn = functools.partial(_kernel_vmem, rows=rows)
         scratch = state + [
@@ -895,7 +1126,7 @@ def cg_pallas_vmem_fromop_batched(
     kernel = functools.partial(
         kern_fn, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
         jacobi=jacobi)
-    X_new, iters, r1 = pl.pallas_call(
+    X_new, iters, r1, *_cscr = pl.pallas_call(
         kernel,
         grid=(B, max_iter + 3),
         in_specs=[
@@ -908,12 +1139,12 @@ def cg_pallas_vmem_fromop_batched(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + extra_out_specs,
         out_shape=[
             jax.ShapeDtypeStruct(X.shape, X.dtype),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ],
+        ] + extra_out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_BUDGET),

@@ -273,6 +273,75 @@ class TestStencilWrapColumns:
                                        rtol=rtol, atol=rtol)
 
 
+class TestHybridStencilMode:
+    """1080p-class stencil residency: state resident, C planes built by
+    the prologue into an HBM scratch output and re-streamed per band.
+    Its arithmetic is IDENTICAL to full_stencil (same _build_c_band /
+    _stencil_w on the same bands), so the strongest check is bit
+    equality between the two modes."""
+
+    def _run(self, mode, monkeypatch_target, *args, **kw):
+        real = pvm.vmem_mode
+        pvm.vmem_mode = lambda *a, **k: mode
+        try:
+            return pvm.cg_pallas_vmem_fromop(*args, **kw)
+        finally:
+            pvm.vmem_mode = real
+
+    @pytest.mark.parametrize("sf", [1, 2])
+    def test_bit_identical_to_full_stencil(self, rng, sf):
+        prob, st, mom, op = _problem(rng, 40, 32, sf)
+        for mi in (2, 12):
+            xf, kf, rf = self._run("full_stencil", None, st.z, op, prob.gm,
+                                   prob.ktw, prob.z0t, sf=sf, lam=1.0,
+                                   tol=1e-4, max_iter=mi)
+            xh, kh, rh = self._run("hybrid_stencil", None, st.z, op,
+                                   prob.gm, prob.ktw, prob.z0t, sf=sf,
+                                   lam=1.0, tol=1e-4, max_iter=mi)
+            assert int(kf) == int(kh)
+            np.testing.assert_array_equal(np.asarray(xf), np.asarray(xh))
+            np.testing.assert_array_equal(float(rf), float(rh))
+
+    def test_multiband_bit_identical(self, rng, monkeypatch):
+        """th=16 over h=48: the C window double-buffer and the prologue's
+        copy-out drain actually cycle."""
+        monkeypatch.setattr(pvm, "vmem_th", lambda *a: 16)
+        prob, st, mom, op = _problem(rng, 48, 32, 2)
+        xf, kf, _ = self._run("full_stencil", None, st.z, op, prob.gm,
+                              prob.ktw, prob.z0t, sf=2, lam=1.0,
+                              tol=1e-4, max_iter=8)
+        xh, kh, _ = self._run("hybrid_stencil", None, st.z, op, prob.gm,
+                              prob.ktw, prob.z0t, sf=2, lam=1.0,
+                              tol=1e-4, max_iter=8)
+        assert int(kf) == int(kh)
+        np.testing.assert_array_equal(np.asarray(xf), np.asarray(xh))
+
+    def test_jacobi_matches_jnp_pcg(self, rng):
+        from functools import partial
+
+        from srmeetsps_cuda_tpu.solve.cg import conjugate_gradient
+
+        h, w, sf = 48, 32, 2
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        lam = 1.0
+        matvec = partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
+                         lam=lam)
+        diag = srps.depth_diag(op, prob, sf, lam)
+        b_res = srps.depth_rhs(op, prob, sf, lam) - matvec(st.z)
+        for mi in (2, 15):
+            ref = conjugate_gradient(matvec, b_res, st.z, tol=1e-4,
+                                     max_iter=mi,
+                                     precond=lambda r: r / diag)
+            x, k, rr = self._run("hybrid_stencil", None, st.z, op, prob.gm,
+                                 prob.ktw, prob.z0t, sf=sf, lam=lam,
+                                 tol=1e-4, max_iter=mi, invd=1.0 / diag)
+            assert int(k) == int(ref.iterations), mi
+            tol = dict(rtol=2e-4, atol=2e-4) if mi == 2 else dict(
+                rtol=3e-2, atol=3e-2)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                       **tol)
+
+
 class TestModeTable:
     def test_mode_by_size(self):
         # Mitten-class, sf<=2: the 9-plane stencil collapse is preferred.
@@ -286,9 +355,13 @@ class TestModeTable:
         # packed one still fits fully resident.
         assert pvm.vmem_mode(1024, 1664, 2,
                              _check_backend=False) == "full_packed"
+        # 1080p-class, sf<=2: state resident + streamed stencil planes.
         assert pvm.vmem_mode(1088, 1920, 2,
-                             _check_backend=False) == "hybrid"
+                             _check_backend=False) == "hybrid_stencil"
         assert pvm.vmem_mode(1088, 1920, 2, jacobi=True,
+                             _check_backend=False) == "hybrid_stencil"
+        # sf=4 keeps the packed-F hybrid at this size.
+        assert pvm.vmem_mode(1088, 1920, 4,
                              _check_backend=False) == "hybrid"
         assert pvm.vmem_mode(2176, 3840, 2, _check_backend=False) is None
 
