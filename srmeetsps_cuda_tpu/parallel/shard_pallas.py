@@ -47,6 +47,8 @@ from ..solve import pallas_cg as _pcg
 from ..solve.pallas_cg import RING, _shift, _tilesum, pad_field, unpad_field
 from ..solve.pallas_cg_cgs import _matvec_band
 from ..solve.pallas_cg_pipe import KTW, MB, _unpack_masks, stack_fields_packed
+from ..solve.pallas_cg_vmem import (
+    N_STENCIL, _build_c_band, _stencil_w, stack_fields_rows)
 
 # Rows of the stacked per-shard state T. CGS (5 rows): rows 1..3 =
 # (r, w, s) are CONTIGUOUS so the per-iteration halo refresh is one
@@ -241,17 +243,33 @@ def _prologue_kernel(T_hbm, F_hbm, R0_hbm, T_out, gd_ref, *,
 
 
 def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
-                      lam: float, sf: int, th: int, h_b: int, n_bands: int):
+                      lam: float, sf: int, th: int, h_b: int, n_bands: int,
+                      stencil: bool = False):
     """One full CGS iteration over the shard's bands: ping-pong read from
     Tsrc, write every state row's owned interior into T_out (= donated
-    Tdst); accumulate (gamma, delta) over owned rows."""
+    Tdst); accumulate (gamma, delta) over owned rows.
+
+    With ``stencil=True`` (sf <= 2) the F operand is the shard's 9
+    collapsed coefficient planes (interior rows only — C is indexed by
+    OUTPUT row, so it needs no ring) and the matvec is the 9-FMA roll
+    sweep (:func:`..solve.pallas_cg_vmem._stencil_w`): fewer bytes per
+    band (9*TH vs 8*TB rows) and ~half the VPU work."""
     TH = th
     TB = TH + 2 * RING
+    NF, FB = (N_STENCIL, TH) if stencil else (8, TB)
     wp = T_out.shape[-1]
     beta = consts_ref[0, 0]
     alpha = consts_ref[0, 1]
 
     def body(rws_bufs, xp_bufs, f_bufs, o_bufs, in_sems, out_sems):
+        def _f_copy(b):
+            slot = lax.rem(b, 2)
+            st = _band_start(b, TH, h_b)
+            src = (F_hbm.at[:, pl.ds(st, TH), :] if stencil
+                   else F_hbm.at[:, pl.ds(st, TB), :])
+            return pltpu.make_async_copy(src, f_bufs.at[slot],
+                                         in_sems.at[slot, 3])
+
         def start_in(b):
             slot = lax.rem(b, 2)
             st = _band_start(b, TH, h_b)
@@ -264,9 +282,7 @@ def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
             pltpu.make_async_copy(
                 Tsrc_hbm.at[pl.ds(TP, 1), pl.ds(st + RING, TH), :],
                 xp_bufs.at[slot, pl.ds(1, 1)], in_sems.at[slot, 2]).start()
-            pltpu.make_async_copy(
-                F_hbm.at[:, pl.ds(st, TB), :],
-                f_bufs.at[slot], in_sems.at[slot, 3]).start()
+            _f_copy(b).start()
 
         def wait_in(b):
             slot = lax.rem(b, 2)
@@ -280,9 +296,7 @@ def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
             pltpu.make_async_copy(
                 Tsrc_hbm.at[pl.ds(TP, 1), pl.ds(st + RING, TH), :],
                 xp_bufs.at[slot, pl.ds(1, 1)], in_sems.at[slot, 2]).wait()
-            pltpu.make_async_copy(
-                F_hbm.at[:, pl.ds(st, TB), :],
-                f_bufs.at[slot], in_sems.at[slot, 3]).wait()
+            _f_copy(b).wait()
 
         def wait_out(b):
             slot = lax.rem(b, 2)
@@ -313,7 +327,8 @@ def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
             r_new = r - alpha * s_new                  # halo-exact
             p_new = r[RING:RING + TH, :] + beta * p
             x_new = x + alpha * p_new
-            w_new = _matvec_band(r_new, f, lam, sf, TH)
+            w_new = (_stencil_w(r_new, f, TH) if stencil
+                     else _matvec_band(r_new, f, lam, sf, TH))
             r_in = r_new[RING:RING + TH, :]
 
             @pl.when(b >= 2)
@@ -346,7 +361,7 @@ def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
         body,
         rws_bufs=pltpu.VMEM((2, 3, TB, wp), jnp.float32),
         xp_bufs=pltpu.VMEM((2, 2, TH, wp), jnp.float32),
-        f_bufs=pltpu.VMEM((2, 8, TB, wp), jnp.float32),
+        f_bufs=pltpu.VMEM((2, NF, FB, wp), jnp.float32),
         o_bufs=pltpu.VMEM((2, 5, TH, wp), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 4)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
@@ -354,11 +369,15 @@ def _cgs_sweep_kernel(consts_ref, Tsrc_hbm, F_hbm, Tdst_in, T_out, gd_ref, *,
 
 
 def _std_kernel_a(consts_ref, T_hbm, F_hbm, T_out, pw_ref, *,
-                  lam: float, sf: int, th: int, h_b: int, n_bands: int):
+                  lam: float, sf: int, th: int, h_b: int, n_bands: int,
+                  stencil: bool = False):
     """Standard-CG phase A: p_dst = r + beta p_src; w = M p_dst;
-    pw += <p, w> over owned rows. consts = [beta, p_src, p_dst, r_row]."""
+    pw += <p, w> over owned rows. consts = [beta, p_src, p_dst, r_row].
+    ``stencil=True``: F operand = 9 interior-row coefficient planes, the
+    matvec is the 9-FMA roll sweep (see _cgs_sweep_kernel)."""
     TH = th
     TB = TH + 2 * RING
+    NF, FB = (N_STENCIL, TH) if stencil else (8, TB)
     wp = T_out.shape[-1]
     i = pl.program_id(0)
     beta = consts_ref[0, 0]
@@ -377,7 +396,8 @@ def _std_kernel_a(consts_ref, T_hbm, F_hbm, T_out, pw_ref, *,
         cp_p = pltpu.make_async_copy(
             T_hbm.at[p_src, pl.ds(st, TB), :], p_buf, sems.at[1])
         cp_f = pltpu.make_async_copy(
-            F_hbm.at[:, pl.ds(st, TB), :], f_buf, sems.at[2])
+            F_hbm.at[:, pl.ds(st, TH), :] if stencil
+            else F_hbm.at[:, pl.ds(st, TB), :], f_buf, sems.at[2])
         cp_r.start()
         cp_p.start()
         cp_f.start()
@@ -385,7 +405,8 @@ def _std_kernel_a(consts_ref, T_hbm, F_hbm, T_out, pw_ref, *,
         cp_p.wait()
         p = r_buf[:] + beta * p_buf[:]
         cp_f.wait()
-        w = _matvec_band(p, f_buf, lam, sf, TH)
+        w = (_stencil_w(p, f_buf, TH) if stencil
+             else _matvec_band(p, f_buf, lam, sf, TH))
         pin = p[RING:RING + TH, :]
         p_buf[RING:RING + TH, :] = pin
         w_buf[:] = w
@@ -405,7 +426,7 @@ def _std_kernel_a(consts_ref, T_hbm, F_hbm, T_out, pw_ref, *,
         body,
         r_buf=pltpu.VMEM((TB, wp), jnp.float32),
         p_buf=pltpu.VMEM((TB, wp), jnp.float32),
-        f_buf=pltpu.VMEM((8, TB, wp), jnp.float32),
+        f_buf=pltpu.VMEM((NF, FB, wp), jnp.float32),
         w_buf=pltpu.VMEM((TH, wp), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((3,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
@@ -493,11 +514,12 @@ def _call_prologue(T, F, R0, geo, lam, sf, h_b, with_w0):
     return T_new, gd
 
 
-def _call_cgs_sweep(T_src, T_dst, F, beta, alpha, geo, lam, sf, h_b):
+def _call_cgs_sweep(T_src, T_dst, F, beta, alpha, geo, lam, sf, h_b,
+                    stencil=False):
     consts = jnp.stack([beta, alpha]).reshape(1, 2)
     kernel = functools.partial(
         _cgs_sweep_kernel, lam=lam, sf=sf, th=geo.th, h_b=h_b,
-        n_bands=geo.n_bands)
+        n_bands=geo.n_bands, stencil=stencil)
     T_new, gd = pl.pallas_call(
         kernel,
         grid=(1,),
@@ -514,13 +536,14 @@ def _call_cgs_sweep(T_src, T_dst, F, beta, alpha, geo, lam, sf, h_b):
     return T_new, gd
 
 
-def _call_std_a(T, F, beta, p_src, p_dst, r_row, geo, lam, sf, h_b):
+def _call_std_a(T, F, beta, p_src, p_dst, r_row, geo, lam, sf, h_b,
+                stencil=False):
     consts = jnp.stack([beta, p_src.astype(jnp.float32),
                         p_dst.astype(jnp.float32),
                         r_row.astype(jnp.float32)]).reshape(1, 4)
     kernel = functools.partial(
         _std_kernel_a, lam=lam, sf=sf, th=geo.th, h_b=h_b,
-        n_bands=geo.n_bands)
+        n_bands=geo.n_bands, stencil=stencil)
     T_new, pw = pl.pallas_call(
         kernel,
         grid=(geo.n_bands,),
@@ -615,22 +638,43 @@ def _local_fields(op_l, gm_l, mask_l, masks_l, z0t_l, sf, geo, h_b,
     return F, R0
 
 
+def _local_stencil_planes(op_l, gm_l, mask_l, masks_l, sf, geo, h_b,
+                          axis_name, lam):
+    """The shard's (9, h_b, wp) collapsed 9-point coefficient planes
+    (``pallas_cg_vmem._build_c_band`` on the whole shard), built ONCE per
+    depth solve in jnp — amortised over the ~100 in-kernel sweeps that
+    then run at half the direct matvec's VPU cost. C is indexed by OUTPUT
+    row, so it needs no per-iteration halo; the one-time F-ring refresh
+    it is built from supplies the cross-shard neighbour coefficients.
+    Requires sf <= 2 (the box-resample tile mates must lie within +-1)
+    and an even shard height (global/local row parity must agree for the
+    KT^T KT phase fold — guaranteed: shard heights are sf-aligned)."""
+    ktw_l = _pcg.make_ktw(mask_l, masks_l, sf)
+    Fr = stack_fields_rows(op_l, gm_l, ktw_l, geo)
+    Fr = _ring_exchange(Fr, h_b, axis_name, RING)
+    return _build_c_band(Fr, lam, sf, h_b)
+
+
 def cg_sharded_pallas_cgs(
     mesh: Mesh,
     axis_name: str,
     x0, op, gm, mask, masks, z0t,
     *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
+    stencil=None,
 ):
     """Chronopoulos-Gear sharded CG with per-shard Pallas sweep kernels.
 
     Per iteration: 1 kernel launch, 1 stacked 2-row halo exchange of
     (r, w, s) (2 ppermutes), 1 fused psum of (gamma, delta). The initial
     residual AND w0 come from the in-kernel prologue. Same recurrence
-    (and stopping semantics) as shard_cg.cg_sharded_cgs.
+    (and stopping semantics) as shard_cg.cg_sharded_cgs. ``stencil``:
+    None = auto (9-point collapsed sweep for sf <= 2, the single-chip
+    resident kernel's halved-cost matvec); False forces the direct
+    packed-F matvec.
     """
     return _run_sharded_pallas(
         mesh, axis_name, x0, op, gm, mask, masks, z0t, sf=sf, lam=lam,
-        tol=tol, max_iter=max_iter, variant="cgs")
+        tol=tol, max_iter=max_iter, variant="cgs", stencil=stencil)
 
 
 class _TailGeo(_pcg.PaddedGeometry):
@@ -640,13 +684,17 @@ class _TailGeo(_pcg.PaddedGeometry):
 
 
 def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
-                        sf, lam, tol, max_iter, variant):
+                        sf, lam, tol, max_iter, variant, stencil=None):
     h, w = x0.shape
     n_shards = mesh.shape[axis_name]
     h_b = h // n_shards
     th = pick_th_shard(h_b, w)
     if th is None:
         raise ValueError(f"unsupported shard geometry: h_b={h_b}, w={w}")
+    if stencil is None:
+        stencil = sf in (1, 2)   # auto: collapse where the fold is exact
+    elif stencil and sf not in (1, 2):
+        raise ValueError("stencil sweep requires sf <= 2")
     wp = -(-w // 128) * 128
     geo = _TailGeo(h_b, w, h_b, wp, th)
     tol_sq = jnp.float32(tol) ** 2
@@ -661,6 +709,11 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
                                fwd_y=fwd_y, bwd_y=bwd_y)
         F, R0 = _local_fields(op_l, gm_l, mask_l, masks_l, z0t_l, sf, geo,
                               h_b, axis_name)
+        # Sweep-kernel coefficient operand: the 9 collapsed stencil
+        # planes when the fold is exact (sf <= 2), else the packed F.
+        C = (_local_stencil_planes(op_l, gm_l, mask_l, masks_l, sf, geo,
+                                   h_b, axis_name, lam)
+             if stencil else F)
         T = jnp.zeros((5,) + geo.shape, jnp.float32)
         T = T.at[TX].set(pad_field(jnp.asarray(x0_l, jnp.float32), geo))
         # x ring rows must be real neighbour values for the prologue's
@@ -688,8 +741,9 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
                     gamma / jnp.where(g_old == 0.0, 1.0, g_old))
                 denom = delta - beta * gamma / a_old
                 alpha = gamma / jnp.where(denom == 0.0, 1.0, denom)
-                T_new, gd_l = _call_cgs_sweep(T_cur, T_alt, F, beta, alpha,
-                                              geo, lam, sf, h_b)
+                T_new, gd_l = _call_cgs_sweep(T_cur, T_alt, C, beta, alpha,
+                                              geo, lam, sf, h_b,
+                                              stencil=stencil)
                 gdv_new = psum(gd_l[0])
                 T_new = _exchange_T_rows(T_new, TR, 3, h_b, axis_name)
                 return (T_new, T_cur, gamma, alpha, gdv_new, k)
@@ -722,8 +776,8 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
             p_src = TP0 + par
             p_dst = TP0 + (1 - par)
             r_row = base_src + 1
-            T7, pw_l = _call_std_a(T7, F, beta, p_src, p_dst, r_row, geo,
-                                   lam, sf, h_b)
+            T7, pw_l = _call_std_a(T7, C, beta, p_src, p_dst, r_row, geo,
+                                   lam, sf, h_b, stencil=stencil)
             pw = psum(pw_l[0, 0])
             alpha = r1 / jnp.where(pw == 0, 1.0, pw)
             # p_dst ring refresh before it becomes next iteration's input.
@@ -772,10 +826,12 @@ def cg_sharded_pallas_std(
     axis_name: str,
     x0, op, gm, mask, masks, z0t,
     *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
+    stencil=None,
 ):
     """Standard (two-reduction) sharded CG on the new per-shard kernels:
-    in-kernel fromop prologue, packed F, tail-band geometry (1080p/8 runs
-    th=64 instead of the old divisor-constrained th=8)."""
+    in-kernel fromop prologue, tail-band geometry (1080p/8 runs th=64
+    instead of the old divisor-constrained th=8), and — for sf <= 2 —
+    the collapsed 9-point stencil sweep (``stencil``: None = auto)."""
     return _run_sharded_pallas(
         mesh, axis_name, x0, op, gm, mask, masks, z0t, sf=sf, lam=lam,
-        tol=tol, max_iter=max_iter, variant="std")
+        tol=tol, max_iter=max_iter, variant="std", stencil=stencil)

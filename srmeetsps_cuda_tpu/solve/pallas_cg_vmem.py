@@ -196,7 +196,7 @@ def _matvec_band(x, f, lam: float, sf: int, th: int, rows: bool = False):
     return w, xin
 
 
-def _build_c_band(f, lam: float, sf: int, th: int):
+def _build_c_band(f, lam: float, sf: int, th: int, shift=_shift):
     """One band of the 9-point stencil collapse of ``M = KT^T KT +
     lam A^T A``: returns the (9, th, wp) interior coefficient rows
     ``[C0, C+x, C-x, C+y, C-y, C+x+y, C+x-y, C-x+y, C-x-y]`` with
@@ -230,19 +230,19 @@ def _build_c_band(f, lam: float, sf: int, th: int):
     pab = ax * by * P12_
     pba = bx * ay * P12_
     pbb = bx * by * P12_
-    # Sh(f, +ex)[i] = f[i+ex] = _shift(f, 0, 1); +ey = _shift(f, 1, 0).
-    cpe = -(E1 + _shift(E2, 0, 1))
-    cme = -(_shift(E1, 0, -1) + E2)
-    cpy = -(F1 + _shift(F2, 1, 0))
-    cmy = -(_shift(F1, -1, 0) + F2)
-    cpp = -(_shift(pba, 0, 1) + _shift(pab, 1, 0))
-    cpm = _shift(pbb, 0, 1) + _shift(paa, -1, 0)
-    cmp_ = _shift(paa, 0, -1) + _shift(pbb, 1, 0)
-    cmm = -(_shift(pab, 0, -1) + _shift(pba, -1, 0))
-    c0 = (_shift(ax * P11_, 0, -1) + (ax + bx) * P11_
-          + _shift(bx * P11_, 0, 1)
-          + _shift(ay * P22_, -1, 0) + (ay + by) * P22_
-          + _shift(by * P22_, 1, 0)
+    # Sh(f, +ex)[i] = f[i+ex] = shift(f, 0, 1); +ey = shift(f, 1, 0).
+    cpe = -(E1 + shift(E2, 0, 1))
+    cme = -(shift(E1, 0, -1) + E2)
+    cpy = -(F1 + shift(F2, 1, 0))
+    cmy = -(shift(F1, -1, 0) + F2)
+    cpp = -(shift(pba, 0, 1) + shift(pab, 1, 0))
+    cpm = shift(pbb, 0, 1) + shift(paa, -1, 0)
+    cmp_ = shift(paa, 0, -1) + shift(pbb, 1, 0)
+    cmm = -(shift(pab, 0, -1) + shift(pba, -1, 0))
+    c0 = (shift(ax * P11_, 0, -1) + (ax + bx) * P11_
+          + shift(bx * P11_, 0, 1)
+          + shift(ay * P22_, -1, 0) + (ay + by) * P22_
+          + shift(by * P22_, 1, 0)
           + 2.0 * (cx * cy * P12_ + cx * P13_ + cy * P23_) + P33_)
     cs = [c0, cpe, cme, cpy, cmy, cpp, cpm, cmp_, cmm]
     cs = [c[sl] for c in cs]

@@ -248,6 +248,52 @@ class TestShardPallas:
             rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
             assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1, fn.__name__
 
+    def test_stencil_matches_direct_short_horizon(self, rng, monkeypatch):
+        """2 iterations, both variants: the collapsed per-shard 9-point
+        sweep (stencil=True) must tightly match the direct packed-F
+        matvec (stencil=False) — same operator M, different arithmetic
+        order. Exercises the shard-boundary C planes (built from
+        ring-exchanged F rows)."""
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        for fn in (shard_pallas.cg_sharded_pallas_cgs,
+                   shard_pallas.cg_sharded_pallas_std):
+            outs = {}
+            for stencil in (False, True):
+                x, k, _ = fn(
+                    mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+                    prob.z0t, sf=sf, lam=1.0, tol=1e-4, max_iter=2,
+                    stencil=stencil)
+                outs[stencil] = (np.asarray(x), int(k))
+            assert outs[True][1] == outs[False][1], fn.__name__
+            np.testing.assert_allclose(outs[True][0], outs[False][0],
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=fn.__name__)
+
+    def test_stencil_sf1_matches_single_device(self, rng, monkeypatch):
+        """sf=1 stencil fold (KT^T KT is diagonal): full-horizon parity
+        vs the single-device jnp CG."""
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 1
+        prob, st, op = _setup(rng, h, w, sf)
+        ref = self._ref(prob, st, op, sf)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x, k, _ = shard_pallas.cg_sharded_pallas_cgs(
+            mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+            prob.z0t, sf=sf, lam=1.0, tol=1e-4, max_iter=30)
+        assert abs(int(k) - int(ref.iterations)) <= 2
+        d = np.asarray(x) - np.asarray(ref.x)
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1
+
 
 class TestShardedIteration:
     def test_iteration_sharded_matches_single_device(self, rng):
