@@ -125,6 +125,25 @@ def _tilesum(v, sf: int):
     if sf == 1:
         return v
 
+    if sf == 4:
+        # Log-step: sliding 4-sum in 2 shifts, then broadcast the phase-0
+        # tile sum in 2 shifts (the zeroed non-anchor phases make plain
+        # adds equivalent to the select chain) — 8 fewer VPU ops/element
+        # than the linear formulation below. Wrap reads only ever combine
+        # zeroed phases, so tile alignment (dims % 4 == 0 at every call
+        # site) is the lone contract, same as the generic form.
+        def axis_sum4(a, axis):
+            sh = (lambda x, e: _shift(x, 0, e)) if axis == 1 else (
+                lambda x, e: _shift(x, e, 0))
+            acc = a + sh(a, 1)
+            acc = acc + sh(acc, 2)
+            idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+            out = jnp.where(idx % 4 == 0, acc, 0.0)
+            out = out + sh(out, -1)
+            return out + sh(out, -2)
+
+        return axis_sum4(axis_sum4(v, 1), 0)
+
     def axis_sum(a, axis):
         h, w = a.shape
         acc = a

@@ -112,10 +112,11 @@ def vmem_th(h: int, w: int) -> int:
 
 def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
               _check_backend: bool = True):
-    """Residency mode this grid supports: ``"full_stencil"`` (sf <= 2:
-    state + the 9 collapsed stencil coefficient planes resident, built
-    in-kernel from the F pack in the it=0 prologue — the cheapest
-    iteration sweep, see :func:`_build_c_band`), ``"full"`` (state +
+    """Residency mode this grid supports: ``"full_stencil"`` (state +
+    the 9 collapsed stencil coefficient planes resident, built in-kernel
+    from the F pack in the it=0 prologue — the cheapest iteration sweep,
+    see :func:`_build_c_band`; sf=4 adds a resident ktw plane for the
+    un-collapsible KT^T KT tilesum term), ``"full"`` (state +
     coefficient fields all resident with unpacked mask rows, zero HBM
     traffic in the loop), ``"full_packed"`` (same residency, 8-row
     packed-bitmask layout — mid-size grids where the 3 extra mask rows
@@ -137,9 +138,11 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     # stencil prologue streams the 11 F rows double-buffered + 4 R0 rows
     # and holds the C-build temporaries
     temps_st = 30 * tb * wp * 4
-    if (sf in (1, 2)
-            and (5 + N_STENCIL + (1 if jacobi else 0)) * plane + temps_st
-            <= VMEM_BUDGET):
+    # sf=4 keeps KT^T KT out of the collapse (7x7 support) and instead
+    # holds the ktw plane resident for a tilesum term in the sweep.
+    st_planes = (5 + N_STENCIL + (1 if sf == 4 else 0)
+                 + (1 if jacobi else 0))
+    if st_planes * plane + temps_st <= VMEM_BUDGET:
         return "full_stencil"
     if (5 + _n_fields(jacobi, rows=True)) * plane + temps <= VMEM_BUDGET:
         return "full"
@@ -150,7 +153,8 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     # HBM scratch by the prologue) re-streamed interior-only per band —
     # fewer bytes AND ~1/4 the arithmetic of the packed-F hybrid.
     cwin = 2 * N_STENCIL * th * wp * 4
-    if sf in (1, 2) and state + cwin + temps_st <= VMEM_BUDGET:
+    ktw_plane = plane if sf == 4 else 0
+    if state + ktw_plane + cwin + temps_st <= VMEM_BUDGET:
         return "hybrid_stencil"
     fbuf = 2 * 8 * tb * wp * 4
     if state + fbuf + temps <= VMEM_BUDGET:
@@ -212,8 +216,14 @@ def _build_c_band(f, lam: float, sf: int, th: int, shift=_shift):
     and because ax=0 on the last masked column / bx=0 on the first, the
     built C is exactly 0 wherever an x-neighbor read would wrap, keeping
     the iteration sweep roll-only with no masking.
+
+    For sf == 4 the tile mates span +-3 offsets (a 7x7 support — 49
+    planes would cost more than it saves), so only ``lam A^T A`` is
+    collapsed and the caller applies the KT^T KT term separately as
+    ``ktw * tilesum(v)`` against a resident ktw plane (see
+    :func:`_kernel_vmem_stencil`).
     """
-    assert sf in (1, 2)
+    assert sf in (1, 2, 4)
     R = RING
     sl = slice(R, R + th)
     P11_, P12_, P13_ = f[P11], f[P12], f[P13]
@@ -248,6 +258,8 @@ def _build_c_band(f, lam: float, sf: int, th: int, shift=_shift):
     cs = [c[sl] for c in cs]
     if lam != 1.0:
         cs = [lam * c for c in cs]
+    if sf == 4:
+        return jnp.stack(cs)
     # Fold KT^T KT: for sf=2 a pixel's tile mates sit at the offsets its
     # even/odd row/col phases select (RING is even and the width pad is
     # trailing, so padded-plane phases equal image phases).
@@ -299,12 +311,22 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
     it=0 prologue builds in-kernel from the streamed 11(+1)-row F pack
     (:func:`_build_c_band`) — the per-element cost of sweep A drops from
     ~40 VPU ops + 8 rolls (mask-gated gradient/adjoint chain + tilesum)
-    to 9 multiply-adds + 8 rolls."""
+    to 9 multiply-adds + 8 rolls. For sf == 4 the KT^T KT term does not
+    fold into 9 planes (7x7 tile support); it is applied per sweep as
+    ``ktw * tilesum(p)`` against one extra resident ktw plane — still
+    far cheaper than the direct kernel's full mask-gated chain."""
+    refs = list(refs)
+    xv, rv, p0v, p1v, wv, cv = refs[:6]
+    i_r = 6
+    ktwv = None
+    if sf == 4:
+        ktwv = refs[i_r]
+        i_r += 1
+    ivdv = None
     if jacobi:
-        xv, rv, p0v, p1v, wv, cv, ivdv, scal, sems = refs
-    else:
-        xv, rv, p0v, p1v, wv, cv, scal, sems = refs
-        ivdv = None
+        ivdv = refs[i_r]
+        i_r += 1
+    scal, sems = refs[i_r], refs[i_r + 1]
     TH = th
     TB = TH + 2 * RING
     lane = pl.program_id(0)
@@ -326,6 +348,10 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             cp_i = pltpu.make_async_copy(F_hbm.at[lane, IVDR], ivdv,
                                          sems.at[3])
             cp_i.start()
+        if ktwv is not None:
+            cp_k = pltpu.make_async_copy(F_hbm.at[lane, KTWR], ktwv,
+                                         sems.at[0])
+            cp_k.start()
         zero = jnp.zeros_like(p0v)
         p0v[...] = zero
         p1v[...] = zero
@@ -337,6 +363,8 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
         cp_x.wait()
         if jacobi:
             cp_i.wait()
+        if ktwv is not None:
+            cp_k.wait()
 
         def body(fb, q_buf, fsem, qsem):
             def f_copy(b, cur):
@@ -361,6 +389,9 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                 cv[:, sl_i, :] = c_band
                 x = xv[b * TH:b * TH + TB, :]
                 w = _stencil_w(x, c_band, TH)
+                if sf == 4:
+                    xin = x[RING:RING + TH, :]
+                    w = w + f[KTWR, RING:RING + TH, :] * _tilesum(xin, sf)
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).wait()
@@ -433,8 +464,10 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                 z = r
             p = z + beta * p_old
             sl_i = slice(b * TH + RING, b * TH + RING + TH)
-            w = _stencil_w(p, cv[:, sl_i, :], TH)
             pin = p[RING:RING + TH, :]
+            w = _stencil_w(p, cv[:, sl_i, :], TH)
+            if sf == 4:
+                w = w + ktwv[sl_i, :] * _tilesum(pin, sf)
 
             @pl.when(par == 0)
             def _():
@@ -481,18 +514,27 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                                 X_out, iters_ref, r1_ref, C_hbm,
                                 *refs, lam: float, sf: int, n_bands: int,
                                 th: int, jacobi: bool):
-    """Stencil-hybrid residency (1080p-class, sf <= 2): CG state stays in
+    """Stencil-hybrid residency (1080p-class): CG state stays in
     VMEM across the whole solve; the it=0 prologue streams the 11(+1)-row
     F pack band-by-band, builds the 9 collapsed stencil rows
     (:func:`_build_c_band`), and writes them to the ``C_hbm`` scratch
     output; every iteration then re-streams ONLY the 9 interior C rows
     per band (9*TH rows vs the packed-F hybrid's 8*(TH+2R)) and applies
-    the matvec as 9 multiply-adds — less DMA and ~1/4 the arithmetic."""
+    the matvec as 9 multiply-adds — less DMA and ~1/4 the arithmetic.
+    sf == 4 adds a resident ktw plane for the un-collapsible KT^T KT
+    tilesum term (see :func:`_kernel_vmem_stencil`)."""
+    refs = list(refs)
+    xv, rv, p0v, p1v, wv, cb = refs[:6]
+    i_r = 6
+    ktwv = None
+    if sf == 4:
+        ktwv = refs[i_r]
+        i_r += 1
+    ivdv = None
     if jacobi:
-        xv, rv, p0v, p1v, wv, cb, ivdv, scal, sems = refs
-    else:
-        xv, rv, p0v, p1v, wv, cb, scal, sems = refs
-        ivdv = None
+        ivdv = refs[i_r]
+        i_r += 1
+    scal, sems = refs[i_r], refs[i_r + 1]
     TH = th
     TB = TH + 2 * RING
     lane = pl.program_id(0)
@@ -519,6 +561,12 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             cp_i = pltpu.make_async_copy(F_hbm.at[lane, IVDR], ivdv,
                                          sems.at[3])
             cp_i.start()
+        if ktwv is not None:
+            # sems 0/1 are the iteration-step C stream; balanced reuse
+            # within the prologue step is safe.
+            cp_k = pltpu.make_async_copy(F_hbm.at[lane, KTWR], ktwv,
+                                         sems.at[0])
+            cp_k.start()
         zero = jnp.zeros_like(p0v)
         p0v[...] = zero
         p1v[...] = zero
@@ -527,6 +575,8 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
         cp_x.wait()
         if jacobi:
             cp_i.wait()
+        if ktwv is not None:
+            cp_k.wait()
 
         def body(fb, q_buf, fsem, qsem, osem):
             def f_copy(b, cur):
@@ -559,6 +609,9 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                 c_out_copy(b, cur).start()
                 x = xv[b * TH:b * TH + TB, :]
                 w = _stencil_w(x, c_band, TH)
+                if sf == 4:
+                    xin = x[RING:RING + TH, :]
+                    w = w + f[KTWR, RING:RING + TH, :] * _tilesum(xin, sf)
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).wait()
@@ -642,9 +695,11 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             else:
                 z = r
             p = z + beta * p_old
-            w = _stencil_w(p, cb[cur], TH)
             pin = p[RING:RING + TH, :]
+            w = _stencil_w(p, cb[cur], TH)
             sl_i = slice(b * TH + RING, b * TH + RING + TH)
+            if sf == 4:
+                w = w + ktwv[sl_i, :] * _tilesum(pin, sf)
 
             @pl.when(par == 0)
             def _():
@@ -1091,7 +1146,8 @@ def cg_pallas_vmem_fromop_batched(
         kern_fn = _kernel_vmem_stencil
         scratch = state + [
             pltpu.VMEM((N_STENCIL, hp2, wp), jnp.float32),  # C resident
-        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if sf == 4 else []) + (
+            [pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
             pltpu.SMEM((1, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
@@ -1099,7 +1155,8 @@ def cg_pallas_vmem_fromop_batched(
         kern_fn = _kernel_vmem_hybrid_stencil
         scratch = state + [
             pltpu.VMEM((2, N_STENCIL, geo.th, wp), jnp.float32),  # C window
-        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+        ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if sf == 4 else []) + (
+            [pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
             pltpu.SMEM((1, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]

@@ -228,9 +228,9 @@ class TestFullPackedMode:
 
 
 class TestFullModeForced:
-    """The direct (mask-gated matvec) resident kernel still serves sf=4
-    and grids past the stencil budget; small sf<=2 grids now naturally
-    route to the stencil kernel, so force "full" to keep covering it."""
+    """The direct (mask-gated matvec) resident kernel still serves grids
+    past the stencil budget; small grids (any sf) now naturally route to
+    the stencil kernel, so force "full" to keep covering it."""
 
     @pytest.fixture(autouse=True)
     def force_full(self, monkeypatch):
@@ -288,7 +288,7 @@ class TestHybridStencilMode:
         finally:
             pvm.vmem_mode = real
 
-    @pytest.mark.parametrize("sf", [1, 2])
+    @pytest.mark.parametrize("sf", [1, 2, 4])
     def test_bit_identical_to_full_stencil(self, rng, sf):
         prob, st, mom, op = _problem(rng, 40, 32, sf)
         for mi in (2, 12):
@@ -349,8 +349,12 @@ class TestModeTable:
                 == "full_stencil")
         assert (pvm.vmem_mode(960, 1280, 2, jacobi=True,
                               _check_backend=False) == "full_stencil")
-        # sf=4: tile mates exceed the 3x3 stencil support — direct kernel.
-        assert pvm.vmem_mode(960, 1280, 4, _check_backend=False) == "full"
+        # sf=4: the KT^T KT term rides as a resident ktw plane + tilesum
+        # on top of the 9-plane A^T A collapse.
+        assert (pvm.vmem_mode(960, 1280, 4, _check_backend=False)
+                == "full_stencil")
+        assert (pvm.vmem_mode(1088, 1920, 4, _check_backend=False)
+                == "hybrid_stencil")
         # Mid-size: the 11-row layout overflows the budget, the 8-row
         # packed one still fits fully resident.
         assert pvm.vmem_mode(1024, 1664, 2,
@@ -360,9 +364,6 @@ class TestModeTable:
                              _check_backend=False) == "hybrid_stencil"
         assert pvm.vmem_mode(1088, 1920, 2, jacobi=True,
                              _check_backend=False) == "hybrid_stencil"
-        # sf=4 keeps the packed-F hybrid at this size.
-        assert pvm.vmem_mode(1088, 1920, 4,
-                             _check_backend=False) == "hybrid"
         assert pvm.vmem_mode(2176, 3840, 2, _check_backend=False) is None
 
 
