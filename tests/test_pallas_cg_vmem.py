@@ -51,7 +51,15 @@ class TestVmemCG:
             np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_s),
                                        rtol=rtol, atol=rtol)
 
-    @pytest.mark.parametrize("sf", [1, 2])
+    # sf=4 exercises the riskiest *refs unpack of the stencil kernels:
+    # BOTH the ktwv (sf=4 tilesum) and ivdv (jacobi) scratch planes are
+    # present (advisor r3 finding). Its long horizon stops at 10: by
+    # iteration ~13 the sf=4 preconditioned residual stagnates in the
+    # f32 noise floor and iterates drift chaotically between ANY two
+    # arithmetic orders (the direct kernel diverges from jnp PCG
+    # identically to the stencil one, maxdiff ~8 at mi=13) — per the
+    # testing philosophy that regime is not an invariant.
+    @pytest.mark.parametrize("sf", [1, 2, 4])
     def test_jacobi_matches_jnp_pcg(self, rng, sf):
         from functools import partial
 
@@ -64,7 +72,7 @@ class TestVmemCG:
                          lam=lam)
         diag = srps.depth_diag(op, prob, sf, lam)
         b_res = srps.depth_rhs(op, prob, sf, lam) - matvec(st.z)
-        for mi in (2, 15):
+        for mi in (2, 15 if sf < 4 else 10):
             ref = conjugate_gradient(matvec, b_res, st.z, tol=1e-4,
                                      max_iter=mi,
                                      precond=lambda r: r / diag)

@@ -106,12 +106,15 @@ def main():
                 counts[(mode, mi)] = k
 
     xs = {}
+    # gm/ktw/z0t ride in the jit ARGS (closing over device arrays embeds
+    # them in the serialized module — axon 413 risk, CLAUDE.md).
+    env_acc = dict(env, gm=prob.gm, ktw=prob.ktw, z0t=prob.z0t)
     for mode in fns:
         pvm.vmem_mode = lambda *a, **k: mode
         x, k, r1 = jax.jit(
             lambda z, e: pvm.cg_pallas_vmem_fromop(
-                z, e["op"], prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
-                tol=0.0, max_iter=100))(st.z, env)
+                z, e["op"], e["gm"], e["ktw"], e["z0t"], sf=sf, lam=lam,
+                tol=0.0, max_iter=100))(st.z, env_acc)
         pvm.vmem_mode = real_mode
         xs[mode] = np.asarray(x)
         per = ((best[(mode, 100)] - best[(mode, 25)])
