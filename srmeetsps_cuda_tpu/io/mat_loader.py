@@ -36,6 +36,33 @@ def _load_vars_v73(path):
             out[k] = a.transpose(range(a.ndim)[::-1])
     return out
 
+def save_mat_dataset(path: str, data: ProblemData, fmt: str = "mat73"):
+    """Write a ProblemData as a MATLAB dataset file (the reference's input
+    container: variables ``I, K, mask, sf, z0`` in MATLAB column-major dim
+    order, Utilities.cpp:159-199). ``fmt``: ``mat73`` (HDF5, the
+    reference's mitten_sf2.mat era container) or ``mat5`` (scipy.io).
+
+    The inverse of :func:`load_mat_dataset` — used to convert image-folder
+    datasets to the MATLAB input path and by the round-trip tests/bench."""
+    I = np.moveaxis(np.asarray(data.I), (0, 1, 2, 3), (3, 2, 0, 1))  # (h,w,c,n)
+    z0 = np.moveaxis(np.asarray(data.z0), 0, -1)  # (h/sf, w/sf, m)
+    out = {
+        "I": I,
+        "K": np.asarray(data.K, np.float64),
+        "mask": (np.asarray(data.mask) != 0).astype(np.uint8),
+        "sf": np.float64(data.sf),
+        "z0": z0,
+    }
+    if fmt == "mat5":
+        import scipy.io as sio
+
+        sio.savemat(path, out)
+        return
+    from .writers import save_mat73
+
+    save_mat73(path, out)
+
+
 def load_mat_dataset(path: str) -> ProblemData:
     try:
         v = _load_vars_v5(path)

@@ -165,6 +165,37 @@ def test_same_init_trajectory_parity(mitten_small, framework_run):
         assert de < g["de"], (it + 1, de)
 
 
+def test_mat_path_matches_images_path(mitten_small, framework_run, tmp_path):
+    """The reference's two DataHandlers guarantee the same problem from
+    either container (Utilities.cpp:159-199 vs :349-395). Convert the real
+    (downscaled) Mitten fixture to a MAT 7.3 file, reload through the
+    MATLAB input path, and require the bit-identical problem and an
+    identical first-iteration trajectory."""
+    from srmeetsps_cuda_tpu.io.mat_loader import (load_mat_dataset,
+                                                  save_mat_dataset)
+
+    p = str(tmp_path / "mitten_small_sf2.mat")
+    save_mat_dataset(p, mitten_small, fmt="mat73")
+    data_m = load_mat_dataset(p)
+    np.testing.assert_array_equal(data_m.I, mitten_small.I)
+    np.testing.assert_array_equal(
+        data_m.mask, (mitten_small.mask != 0).astype(np.float32))
+    np.testing.assert_array_equal(data_m.z0, mitten_small.z0)
+    np.testing.assert_allclose(data_m.K, mitten_small.K, rtol=1e-6)
+    assert data_m.sf == mitten_small.sf
+
+    cfg = framework_run["cfg"]
+    prob_m, st_m = prepare(data_m, cfg)
+    st1_images = srps.srps_iteration(
+        framework_run["state0"], framework_run["prob"],
+        int(mitten_small.sf), cfg)
+    st1_mat = srps.srps_iteration(st_m, prob_m, int(data_m.sf), cfg)
+    # Bit-identical inputs -> bit-identical trajectory.
+    assert float(st1_mat.energy) == float(st1_images.energy)
+    np.testing.assert_array_equal(np.asarray(st1_mat.z),
+                                  np.asarray(st1_images.z))
+
+
 def test_full_chain_golden(mitten_small, framework_run):
     """Full chain incl. preprocessing: frozen goldens + oracle RMSE bound."""
     import cv2
