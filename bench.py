@@ -407,6 +407,17 @@ def accuracy_metrics():
     # minimised energy — see tests/test_e2e.py — only its stability on
     # this fixed fixture is.)
     rmse_golden = 1.009
+    # bf16 image-stack certification: same fixture, same gates. The bf16
+    # preset only quantises the image stack I (the two roofline passes);
+    # z/rho/N and all solver state stay f32, so accuracy should hold to
+    # within the normals gate — this records it every round.
+    final_b, _ = solve(data, SolverConfig(inpaint_iters=64,
+                                          image_dtype="bfloat16"),
+                       RuntimeConfig(), verbose=False)
+    rmse_b = float(np.sqrt(np.mean((np.asarray(final_b.z) - z_true)[m] ** 2)))
+    Nb = np.asarray(final_b.N)
+    dot_b = np.clip((Nb[:3] * N_true[:3]).sum(0), -1, 1)
+    err_deg_b = float(np.degrees(np.arccos(dot_b[m])).mean())
     return {
         "rmse": round(rmse, 5),
         "rmse_init": round(rmse0, 5),
@@ -416,6 +427,10 @@ def accuracy_metrics():
         # the same guarded threshold the e2e test enforces.
         "accuracy_ok": bool(err_deg < 15.0
                             and abs(rmse - rmse_golden) < 0.15),
+        "bf16_rmse": round(rmse_b, 5),
+        "bf16_normals_err_deg": round(err_deg_b, 3),
+        "bf16_accuracy_ok": bool(err_deg_b < 15.0
+                                 and abs(rmse_b - rmse_golden) < 0.25),
     }
 
 
@@ -617,6 +632,25 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         fast = {"fast_error": str(e)[:200]}
 
+    # bf16 image stack (--image-dtype bfloat16): the two per-iteration
+    # image passes (lighting ATb, s_moments J) run AT the 295 MB f32
+    # streaming roofline — bf16 halves their bytes (~0.4 ms of the
+    # ~3.8 ms outer iteration). Certified, not default: the default stays
+    # f32 for reference-trajectory parity; this block records the speed
+    # AND the accuracy cost so the preset is a documented, gated choice.
+    bf16 = {}
+    try:
+        cfg_b = SolverConfig(use_pallas=True, image_dtype="bfloat16")
+        dt_b, fin_b = _sustained(data, cfg_b)
+        _note(f"bf16 preset timed ({dt_b:.3f}s/solve)")
+        bf16 = {
+            "bf16_sustained_solves_per_sec": round(1.0 / dt_b, 4),
+            "bf16_device_time_ratio": round(dt_b / dt_sus, 4),
+            "bf16_final_energy": float(fin_b.energy),
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        bf16 = {"bf16_error": str(e)[:200]}
+
     solves_per_sec = 1.0 / dt
     result = {
         "metric": "mitten_sf2_e2e_solve",
@@ -631,6 +665,7 @@ def main():
         "device": str(jax.devices()[0]),
         "dataset": ds or "synthetic",
         **fast,
+        **bf16,
     }
     # The device metrics compile the Pallas kernel directly — gate on the
     # same support check estimate_depth uses and never let a failure here
