@@ -148,7 +148,7 @@ class TestFullWidthWrap:
 
 
 class TestFullCG:
-    @pytest.mark.parametrize("sf", [2, 4])
+    @pytest.mark.parametrize("sf", [2, pytest.param(4, marks=pytest.mark.slow)])
     @pytest.mark.parametrize("fused", [False, True])
     def test_matches_jnp_cg(self, rng, sf, fused):
         h, w = 32, 32
@@ -188,8 +188,16 @@ class TestFullCG:
         assert np.sqrt(np.mean(d**2)) / rms < 2e-1
 
 
+# sf=2 (the production Mitten config) stays in the default tier; the
+# sf=1/sf=4 variants of the expensive kernel-parity tests run in the
+# slow tier (`pytest -m 'not tpu'`) — interpret-mode emulation on the
+# CI host costs ~20 s per case.
+SF_TIERED = [pytest.param(1, marks=pytest.mark.slow), 2,
+             pytest.param(4, marks=pytest.mark.slow)]
+
+
 class TestFromOpPrologue:
-    @pytest.mark.parametrize("sf", [1, 2, 4])
+    @pytest.mark.parametrize("sf", SF_TIERED)
     def test_inkernel_r0_matches_host_r0(self, rng, sf):
         """The iteration-0 prologue (r0 = rhs - M x0 built in-kernel from
         the QB fields + KT^T z0s) must track the host-side jnp b_res path:
@@ -219,7 +227,7 @@ class TestFromOpPrologue:
 
 
 class TestChronopoulosGearCG:
-    @pytest.mark.parametrize("sf", [1, 2, 4])
+    @pytest.mark.parametrize("sf", SF_TIERED)
     def test_matches_standard_cg(self, rng, sf):
         """The single-reduction (CGS) kernel's alpha/beta recurrences are
         algebraically identical to standard CG: exact parity for a couple

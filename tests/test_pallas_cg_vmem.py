@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from test_pallas_cg import _problem
+from test_pallas_cg import SF_TIERED, _problem
 from srmeetsps_cuda_tpu.config import SolverConfig
 from srmeetsps_cuda_tpu.models import srps
 from srmeetsps_cuda_tpu.solve import pallas_cg
@@ -36,7 +36,7 @@ class TestSupportGate:
 
 
 class TestVmemCG:
-    @pytest.mark.parametrize("sf", [1, 2, 4])
+    @pytest.mark.parametrize("sf", SF_TIERED)
     def test_matches_streaming_fromop(self, rng, sf):
         h, w = 40, 32
         prob, st, mom, op = _problem(rng, h, w, sf)
@@ -59,7 +59,7 @@ class TestVmemCG:
     # arithmetic orders (the direct kernel diverges from jnp PCG
     # identically to the stencil one, maxdiff ~8 at mi=13) — per the
     # testing philosophy that regime is not an invariant.
-    @pytest.mark.parametrize("sf", [1, 2, 4])
+    @pytest.mark.parametrize("sf", SF_TIERED)
     def test_jacobi_matches_jnp_pcg(self, rng, sf):
         from functools import partial
 
@@ -117,7 +117,7 @@ class TestHybridMode:
         monkeypatch.setattr(pvm, "vmem_mode",
                             lambda *a, **k: "hybrid")
 
-    @pytest.mark.parametrize("sf", [1, 2, 4])
+    @pytest.mark.parametrize("sf", SF_TIERED)
     def test_matches_streaming_fromop(self, rng, sf):
         h, w = 40, 32
         prob, st, mom, op = _problem(rng, h, w, sf)
@@ -157,6 +157,7 @@ class TestHybridMode:
             np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                        **tol)
 
+    @pytest.mark.slow
     def test_multiband_geometry(self, rng, monkeypatch):
         """Force several bands (th=16 over h=48) so the double-buffered
         F window actually cycles.  Tight parity at 2 iterations (the
@@ -264,6 +265,7 @@ class TestStencilWrapColumns:
     """w == wp: lane rolls wrap real image columns; the built C must be
     exactly zero there (edge-mask argument in _build_c_band)."""
 
+    @pytest.mark.slow
     def test_w_equals_wp(self, rng):
         h, w, sf = 24, 128, 2
         prob, st, mom, op = _problem(rng, h, w, sf)
@@ -310,6 +312,7 @@ class TestHybridStencilMode:
             np.testing.assert_array_equal(np.asarray(xf), np.asarray(xh))
             np.testing.assert_array_equal(float(rf), float(rh))
 
+    @pytest.mark.slow
     def test_multiband_bit_identical(self, rng, monkeypatch):
         """th=16 over h=48: the C window double-buffer and the prologue's
         copy-out drain actually cycle."""

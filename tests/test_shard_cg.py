@@ -1,6 +1,7 @@
 """Manual shard_map halo-exchange CG parity vs the single-device path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -127,6 +128,7 @@ class TestShardCGSingleReduction:
         rms = np.sqrt(np.mean(np.asarray(x_s) ** 2))
         assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1
 
+    @pytest.mark.slow
     def test_cgs_exact_at_short_horizon(self, rng):
         """At 2 iterations the CGS recurrence is algebraically identical to
         standard CG — parity is tight before rounding drift compounds."""
@@ -151,7 +153,13 @@ class TestShardCGSingleReduction:
 
 class TestShardPallas:
     """Generation-2 per-shard Pallas kernels (parallel/shard_pallas.py):
-    in-kernel r0 prologue, packed F, CGS sweep, tail-band overlap."""
+    in-kernel r0 prologue, packed F, CGS sweep, tail-band overlap.
+
+    Interpret-mode emulation of the 8-shard kernels costs minutes; the
+    full class runs in the slow tier (`pytest -m 'not tpu'`), while
+    TestShardPallasSmoke below keeps a default-tier canary."""
+
+    pytestmark = pytest.mark.slow
 
     # Interpret-mode emulation cost is ~linear in max_iter; 10 keeps
     # the convergence-trajectory coverage (drift tolerances are horizon
@@ -296,6 +304,36 @@ class TestShardPallas:
         d = np.asarray(x) - np.asarray(ref.x)
         rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
         assert np.sqrt(np.mean(d ** 2)) / rms < 2e-1
+
+
+class TestShardPallasSmoke:
+    """Default-tier canary for the per-shard Pallas kernels: 2 CGS
+    iterations on the smallest supported 8-shard grid vs the
+    single-device jnp CG (CGS == CG algebraically; 2-iteration drift is
+    tiny). The exhaustive variants live in TestShardPallas (slow)."""
+
+    def test_cgs_two_iterations_match_single_device(self, rng, monkeypatch):
+        import functools
+
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg
+
+        monkeypatch.setattr(pallas_cg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        ref = conjugate_gradient(mv, rhs - mv(st.z), st.z, tol=1e-4,
+                                 max_iter=2)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        assert shard_pallas.shard_pallas_supported(h, w, sf, 8)
+        x, k, _ = shard_pallas.cg_sharded_pallas_cgs(
+            mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks, prob.z0t,
+            sf=sf, lam=1.0, tol=1e-4, max_iter=2)
+        assert int(k) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                   rtol=2e-3, atol=2e-3)
 
 
 class TestShardedIteration:
