@@ -75,6 +75,20 @@ class SolverConfig:
     # automatically when supported; set False to force the streaming
     # kernels everywhere.
     pallas_vmem_resident: bool = True
+    # Track the depth energy inside the VMEM-resident CG kernels
+    # (well-conditioned residual-form evaluation at the warm start +
+    # the exact per-iteration CG identity E(x+ap) = E(x) + a^2<p,Mp>
+    # - 2a<p,r>) instead of the separate XLA pass over the 10
+    # coefficient planes. Same quantity up to f32 reassociation
+    # (tested to 5e-4 rel in every residency mode, on hw to 1e-3) —
+    # but MEASURED SLOWER: the per-iteration <p,r> dot costs ~2.0
+    # ms/outer-iteration at cap-100 vs the ~0.4 ms XLA energy pass it
+    # replaces (tools/profile_kenergy.py, interleaved order-alternating
+    # chained differencing, -1.6/-2.0 ms across runs; the harness's
+    # --null self-calibration bounds its bias at 0.14 ms). Kept opt-in
+    # as the right shape for multi-chip (no extra full-grid pass), like
+    # the CGS sweep.
+    kernel_energy: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

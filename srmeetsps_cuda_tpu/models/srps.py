@@ -86,6 +86,10 @@ class SRPSProblem(NamedTuple):
     SI2: jax.Array  # sum_i I^2, per channel — energy constant term
     z0t: jax.Array  # KT^T z0s (h,w) — depth rhs term, solve-invariant
     ktw: jax.Array  # mask * up(masks) / sf^4 — KT^T KT weight (h,w)
+    z0up: jax.Array  # (2, hp2, wp) up(masks)/up(masks*z0s), vmem-padded —
+    #   the loop-invariant planes the VMEM CG kernel's energy prologue
+    #   streams (pallas_cg_vmem.energy_planes); built here so it is never
+    #   re-padded inside the fused while loop (XLA does not hoist it)
 
 
 class SRPSState(NamedTuple):
@@ -143,6 +147,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
     z0s = jnp.asarray(z0s, jnp.float32) * masks
     c_, n_ = I.shape[:2]
     from ..solve.pallas_cg import make_ktw
+    from ..solve.pallas_cg_vmem import energy_planes as _energy_planes
 
     return SRPSProblem(
         I=I.reshape(c_, n_, h * w),
@@ -157,6 +162,7 @@ def build_problem(I, mask, K, sf: int, z0s, image_dtype: str = "float32") -> SRP
         SI2=SI2,
         z0t=gridops.resample_masked_t(z0s, mask, masks, sf),
         ktw=make_ktw(mask, masks, sf),
+        z0up=_energy_planes(masks, z0s, (h, w), sf),
     )
 
 
@@ -491,18 +497,29 @@ def estimate_depth(
         return (cfg.pallas_vmem_resident
                 and _pvm.supported_vmem(h, w, sf, jacobi=jacobi))
 
+    # Quadratic energy partial x'Mx - 2 x'rhs evaluated in the VMEM
+    # kernel's epilogue (one resident sweep) — replaces the separate XLA
+    # energy pass when a VMEM route is taken and cfg.kernel_energy is on.
+    e_part = None
+
     if (cfg.use_pallas and cfg.jacobi_preconditioner
             and cfg.pallas_fused_loop and cfg.pallas_cg_variant != "cgs"
             and (_vmem_ok(True)
                  or _pcg.supported(h, w, sf, pipelined=True, jacobi=True))):
         from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop
 
-        cg_fromop = (_pvm.cg_pallas_vmem_fromop if _vmem_ok(True)
-                     else cg_pallas_pipelined_fromop)
         invd = 1.0 / depth_diag(op, prob, sf, lam)
-        x, iters, _ = cg_fromop(
-            z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
-            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
+        if _vmem_ok(True) and cfg.kernel_energy:
+            x, iters, _, e_part = _pvm.cg_pallas_vmem_fromop(
+                z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
+                tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd,
+                with_energy=True, z0u=prob.z0up)
+        else:
+            cg_fromop = (_pvm.cg_pallas_vmem_fromop if _vmem_ok(True)
+                         else cg_pallas_pipelined_fromop)
+            x, iters, _ = cg_fromop(
+                z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=lam,
+                tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
         res = CGResult(x, iters, jnp.float32(0.0))
     elif (cfg.use_pallas and not cfg.jacobi_preconditioner
             and _pcg.supported(h, w, sf, pipelined=False)):
@@ -522,12 +539,19 @@ def estimate_depth(
                             or _pcg.supported(h, w, sf, pipelined=True))):
             # Mega-kernel with the initial residual built in-kernel — no
             # host-side rhs/matvec passes at all.
-            cg_fromop = (_cgs.cg_pallas_cgs if use_cgs
-                         else _pvm.cg_pallas_vmem_fromop if _vmem_ok(False)
-                         else cg_pallas_pipelined_fromop)
-            x, iters, _ = cg_fromop(
-                z, op, prob.gm, ktw, prob.z0t, sf=sf, lam=lam,
-                tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+            if not use_cgs and _vmem_ok(False) and cfg.kernel_energy:
+                x, iters, _, e_part = _pvm.cg_pallas_vmem_fromop(
+                    z, op, prob.gm, ktw, prob.z0t, sf=sf, lam=lam,
+                    tol=cfg.cg_tol, max_iter=cfg.cg_max_iter,
+                    with_energy=True, z0u=prob.z0up)
+            else:
+                cg_fromop = (
+                    _cgs.cg_pallas_cgs if use_cgs
+                    else _pvm.cg_pallas_vmem_fromop if _vmem_ok(False)
+                    else cg_pallas_pipelined_fromop)
+                x, iters, _ = cg_fromop(
+                    z, op, prob.gm, ktw, prob.z0t, sf=sf, lam=lam,
+                    tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
         else:
             # two kernel calls per iteration / single-buffer mega-kernel
             cg_fn = cg_pallas if not cfg.pallas_fused_loop else cg_pallas_fused
@@ -551,7 +575,14 @@ def estimate_depth(
             precond=precond,
         )
     z_new = res.x * prob.mask
-    energy = depth_energy(z_new, op, prob, sf, lam)
+    if e_part is not None:
+        # Same quantity depth_energy computes: the kernel tracks the
+        # x-dependent part exactly (well-conditioned warm-start eval +
+        # the per-iteration CG identity, pallas_cg_vmem._e0_band); only
+        # the x-independent lam * sum B^2 is added here.
+        energy = e_part + lam * op.const
+    else:
+        energy = depth_energy(z_new, op, prob, sf, lam)
     return z_new, energy, res.iterations
 
 

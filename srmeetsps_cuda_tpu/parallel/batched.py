@@ -57,25 +57,38 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     # chained-launch glue (measured 35 vs 93 us/CG-iter in-context).
     use_vmem = (cfg.pallas_vmem_resident and _pvm.supported_vmem(
         h, w, sf, jacobi=cfg.jacobi_preconditioner))
+    # The VMEM kernel's epilogue evaluates the per-lane quadratic energy
+    # partial in one resident sweep (see srps.estimate_depth) — skips the
+    # vmapped XLA energy pass below.
+    kern_e = use_vmem and cfg.kernel_energy
+    e_part = None
     if cfg.jacobi_preconditioner:
         invd = 1.0 / jax.vmap(
             lambda o, p: srps.depth_diag(o, p, sf, lam))(op, probs)
         cg_fn = (_pvm.cg_pallas_vmem_fromop_batched if use_vmem
                  else cg_pallas_pipelined_fromop_batched)
-        x, cg_iters, _ = cg_fn(
+        x, cg_iters, _, *e_tail = cg_fn(
             states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
-            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd)
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter, invd=invd,
+            **({"with_energy": True, "z0u": probs.z0up} if kern_e else {}))
     else:
         cg_fn = (_pvm.cg_pallas_vmem_fromop_batched if use_vmem
                  else cg_pallas_pipelined_fromop_batched)
         if (cfg.pallas_cg_variant == "cgs" and _cgs.supported_cgs(h, w, sf)):
             cg_fn = _cgs.cg_pallas_cgs_batched
-        x, cg_iters, _ = cg_fn(
+            kern_e = False
+        x, cg_iters, _, *e_tail = cg_fn(
             states.z, op, probs.gm, probs.ktw, probs.z0t, sf=sf, lam=lam,
-            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter)
+            tol=cfg.cg_tol, max_iter=cfg.cg_max_iter,
+            **({"with_energy": True, "z0u": probs.z0up} if kern_e else {}))
+    if kern_e:
+        e_part = e_tail[0]
     z = x * probs.mask
-    energy = jax.vmap(lambda zz, o, p: srps.depth_energy(zz, o, p, sf, lam)
-                      )(z, op, probs)
+    if e_part is not None:
+        energy = e_part + lam * jnp.asarray(op.const)
+    else:
+        energy = jax.vmap(lambda zz, o, p: srps.depth_energy(
+            zz, o, p, sf, lam))(z, op, probs)
     zx = jax.vmap(gradops.grad_x)(z, probs.gm)
     zy = jax.vmap(gradops.grad_y)(z, probs.gm)
     N, dz = jax.vmap(normals_from_depth)(z, zx, zy, probs.xx, probs.yy,

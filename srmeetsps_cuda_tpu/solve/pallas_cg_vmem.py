@@ -89,6 +89,10 @@ def _n_fields(jacobi: bool, rows: bool = False) -> int:
 # rows, ordered [C0, C+x, C-x, C+y, C-y, C+x+y, C+x-y, C-x+y, C-x-y].
 N_STENCIL = 9
 
+# Extra SMEM scalar slot: the exactly-tracked depth energy (see
+# _e0_band). scal is widened to (1, 9) in the vmem kernels only.
+S_E = 8
+
 
 def stack_fields_rows(op, gm, ktw, geo, invd=None):
     """(11(+1), Hp+2R, Wp) coefficient stack with unpacked mask rows."""
@@ -287,6 +291,59 @@ def _build_c_band(f, lam: float, sf: int, th: int, shift=_shift):
     return jnp.stack(cs)
 
 
+def _e0_band(x, f, q, zu, lam: float, sf: int, th: int,
+             rows: bool = False):
+    """Well-conditioned depth energy at the warm start, one band.
+
+    ``E(x0) = ||KT x0 - z0s||^2 + lam * (x0'A'A x0 - 2 x0'A'B)`` with the
+    caller adding the x-independent ``lam * sum B^2`` (= op.const). The
+    direct quadratic identity ``x'Mx - 2x'rhs`` is unusable in f32 (the
+    two dots are ~1e10 while E is ~1e4 on real depths — measured 684
+    absolute error at Mitten scale), so each term is evaluated in its
+    per-pixel residual form, matching srps.depth_energy's conditioning:
+
+    * data term: P/QB-weighted quadratics of (g, h, x) per pixel;
+    * KT term: the LR residual replicated onto the HR grid against the
+      ``up(masks)`` / ``up(masks * z0s)`` planes (``zu`` rows 0/1), every
+      HR pixel of a tile carrying the tile residual, summed / sf^2.
+
+    The per-iteration update is then the exact CG identity
+    ``E(x + alpha p) = E(x) + alpha^2 <p, Mp> - 2 alpha <p, r>`` — all
+    three scalars are literal in-kernel dots, so no further field passes
+    are needed (devicecalls.cu:762-767 recomputes the energy with two
+    SpMVs instead)."""
+    fwd_x, bwd_x, fwd_y, bwd_y = _band_masks(f, rows)
+    g = fwd_x * (_shift(x, 0, 1) - x) + bwd_x * (x - _shift(x, 0, -1))
+    h = fwd_y * (_shift(x, 1, 0) - x) + bwd_y * (x - _shift(x, -1, 0))
+    sl = slice(RING, RING + th)
+    g, h, xin = g[sl], h[sl], x[sl]
+    quad = (f[P11, sl, :] * g * g + f[P22, sl, :] * h * h
+            + f[P33, sl, :] * xin * xin
+            + 2.0 * (f[P12, sl, :] * g * h - f[P13, sl, :] * g * xin
+                     - f[P23, sl, :] * h * xin))
+    lin = q[0, sl, :] * g + q[1, sl, :] * h - q[2, sl, :] * xin
+    edata = jnp.sum(quad - 2.0 * lin)
+    t = _tilesum(xin, sf) * (1.0 / (sf * sf))
+    rkt = zu[0, sl, :] * t - zu[1, sl, :]
+    ekt = jnp.sum(rkt * rkt) * (1.0 / (sf * sf))
+    return ekt + (edata if lam == 1.0 else lam * edata)
+
+
+def energy_planes(masks, z0s, mask_shape, sf: int):
+    """The two loop-invariant HR planes the kernels' energy prologue
+    streams: ``up(masks)`` and ``up(masks * z0s)``, padded to the vmem
+    geometry. Built once per problem (srps.build_problem)."""
+    from ..ops.grid import box_upsample_adjoint
+
+    h, w = mask_shape
+    geo = geometry(h, w, vmem_th(h, w))
+    s2 = float(sf * sf)
+    u1 = box_upsample_adjoint(jnp.asarray(masks, jnp.float32), sf) * s2
+    u2 = box_upsample_adjoint(
+        jnp.asarray(z0s, jnp.float32) * masks, sf) * s2
+    return jnp.stack([pad_field(u1, geo), pad_field(u2, geo)])
+
+
 def _stencil_w(p, c, th: int):
     """``w = M p`` on one ring-banded block via the resident 9-point
     stencil: 2 lane rolls + 6 sublane rolls + 9 multiply-adds — no mask
@@ -301,10 +358,10 @@ def _stencil_w(p, c, th: int):
             + c[7] * _shift(pw, 1, 0)[sl] + c[8] * _shift(pw, -1, 0)[sl])
 
 
-def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
-                         X_out, iters_ref, r1_ref,
+def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
+                         X_out, iters_ref, r1_ref, e_ref,
                          *refs, lam: float, sf: int, n_bands: int, th: int,
-                         jacobi: bool):
+                         jacobi: bool, track_e: bool = False):
     """Stencil-resident CG: same grid/step structure, bookkeeping, and
     stopping semantics as :func:`_kernel_vmem`, but the iteration sweeps
     apply ``M`` through 9 resident collapsed coefficient planes that the
@@ -366,7 +423,7 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
         if ktwv is not None:
             cp_k.wait()
 
-        def body(fb, q_buf, fsem, qsem):
+        def body(fb, q_buf, fsem, qsem, zu_buf=None, zsem=None):
             def f_copy(b, cur):
                 return pltpu.make_async_copy(
                     F_hbm.at[lane, pl.ds(0, 11), pl.ds(b * TH, TB), :],
@@ -374,12 +431,17 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             rr = jnp.float32(0.0)
             rz = jnp.float32(0.0)
+            e0 = jnp.float32(0.0)
             f_copy(0, 0).start()
             for b in range(n_bands):
                 cur = b % 2
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).start()
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).start()
                 if b + 1 < n_bands:
                     f_copy(b + 1, 1 - cur).start()
                 f_copy(b, cur).wait()
@@ -412,9 +474,17 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                 rr = rr + jnp.sum(r * r)
                 if jacobi:
                     rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).wait()
+                    e0 = e0 + _e0_band(x, f, q_buf, zu_buf, lam, sf, TH,
+                                       rows=True)
             scal[0, S_R1] = rz if jacobi else rr
             if jacobi:
                 scal[0, S_RR2] = rr
+            if track_e:
+                scal[0, S_E] = e0
             r1_ref[lane, 0] = rr
 
         pl.run_scoped(
@@ -423,6 +493,9 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
             fsem=pltpu.SemaphoreType.DMA((2,)),
             qsem=pltpu.SemaphoreType.DMA(()),
+            **(dict(zu_buf=pltpu.VMEM((2, TB, X_hbm.shape[-1]),
+                                      jnp.float32),
+                    zsem=pltpu.SemaphoreType.DMA(())) if track_e else {}),
         )
 
     # ---------------- iteration steps --------------------------------
@@ -453,7 +526,9 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
         par = lax.rem(it - 1, 2)
 
         # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw = <p, w>
+        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
         pw = jnp.float32(0.0)
+        pr = jnp.float32(0.0)
         for b in range(n_bands):
             sl_b = slice(b * TH, b * TH + TB)
             r = rv[sl_b, :]
@@ -479,11 +554,16 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
+            if track_e:
+                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
-        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        scal[0, S_ALPHA] = alpha
+        if track_e:
+            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
+                            - 2.0 * alpha * pr)
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
-        alpha = scal[0, S_ALPHA]
         rr = jnp.float32(0.0)
         rz = jnp.float32(0.0)
         for b in range(n_bands):
@@ -502,18 +582,20 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             scal[0, S_RR2] = rr
         r1_ref[lane, 0] = rr
 
-    # ---------------- epilogue: write x back --------------------------
+    # ------- epilogue: write x back + the tracked energy ---------------
     @pl.when(it == n_it - 1)
     def _():
+        e_ref[lane, 0] = scal[0, S_E] if track_e else jnp.float32(0.0)
         cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
         cp.start()
         cp.wait()
 
 
-def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
-                                X_out, iters_ref, r1_ref, C_hbm,
+def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
+                                X_out, iters_ref, r1_ref, e_ref, C_hbm,
                                 *refs, lam: float, sf: int, n_bands: int,
-                                th: int, jacobi: bool):
+                                th: int, jacobi: bool,
+                                track_e: bool = False):
     """Stencil-hybrid residency (1080p-class): CG state stays in
     VMEM across the whole solve; the it=0 prologue streams the 11(+1)-row
     F pack band-by-band, builds the 9 collapsed stencil rows
@@ -578,7 +660,7 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
         if ktwv is not None:
             cp_k.wait()
 
-        def body(fb, q_buf, fsem, qsem, osem):
+        def body(fb, q_buf, fsem, qsem, osem, zu_buf=None, zsem=None):
             def f_copy(b, cur):
                 return pltpu.make_async_copy(
                     F_hbm.at[lane, pl.ds(0, 11), pl.ds(b * TH, TB), :],
@@ -591,12 +673,17 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             rr = jnp.float32(0.0)
             rz = jnp.float32(0.0)
+            e0 = jnp.float32(0.0)
             f_copy(0, 0).start()
             for b in range(n_bands):
                 cur = b % 2
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).start()
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).start()
                 if b + 1 < n_bands:
                     f_copy(b + 1, 1 - cur).start()
                 f_copy(b, cur).wait()
@@ -633,6 +720,12 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
                 rr = rr + jnp.sum(r * r)
                 if jacobi:
                     rz = rz + jnp.sum(r * r * ivdv[sl_i, :])
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).wait()
+                    e0 = e0 + _e0_band(x, f, q_buf, zu_buf, lam, sf, TH,
+                                       rows=True)
             # drain the last (up to) two outstanding C copies
             for b in (n_bands - 2, n_bands - 1):
                 if b >= 0:
@@ -640,6 +733,8 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             scal[0, S_R1] = rz if jacobi else rr
             if jacobi:
                 scal[0, S_RR2] = rr
+            if track_e:
+                scal[0, S_E] = e0
             r1_ref[lane, 0] = rr
 
         pl.run_scoped(
@@ -649,6 +744,9 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             fsem=pltpu.SemaphoreType.DMA((2,)),
             qsem=pltpu.SemaphoreType.DMA(()),
             osem=pltpu.SemaphoreType.DMA((2,)),
+            **(dict(zu_buf=pltpu.VMEM((2, TB, X_hbm.shape[-1]),
+                                      jnp.float32),
+                    zsem=pltpu.SemaphoreType.DMA(())) if track_e else {}),
         )
 
     # ---------------- iteration steps --------------------------------
@@ -680,7 +778,9 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
 
         # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw;
         # C interior bands stream in double-buffered under the compute.
+        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
         pw = jnp.float32(0.0)
+        pr = jnp.float32(0.0)
         _c_in_copy(0, 0).start()
         for b in range(n_bands):
             cur = b % 2
@@ -711,11 +811,16 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
+            if track_e:
+                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
-        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        scal[0, S_ALPHA] = alpha
+        if track_e:
+            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
+                            - 2.0 * alpha * pr)
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
-        alpha = scal[0, S_ALPHA]
         rr = jnp.float32(0.0)
         rz = jnp.float32(0.0)
         for b in range(n_bands):
@@ -734,19 +839,20 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm,
             scal[0, S_RR2] = rr
         r1_ref[lane, 0] = rr
 
-    # ---------------- epilogue: write x back --------------------------
+    # ------- epilogue: write x back + the tracked energy ---------------
     @pl.when(it == n_it - 1)
     def _():
+        e_ref[lane, 0] = scal[0, S_E] if track_e else jnp.float32(0.0)
         cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
         cp.start()
         cp.wait()
 
 
-def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
-                 X_out, iters_ref, r1_ref,
+def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
+                 X_out, iters_ref, r1_ref, e_ref,
                  xv, rv, p0v, p1v, wv, fv, scal, sems,
                  *, lam: float, sf: int, n_bands: int, th: int,
-                 jacobi: bool, rows: bool = False):
+                 jacobi: bool, rows: bool = False, track_e: bool = False):
     """Grid (B, max_iter + 3): it=0 load+prologue, it in [1, max_iter+1]
     one full CG iteration per step, it=max_iter+2 epilogue (x out).
 
@@ -782,13 +888,18 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
         cp_x.wait()
         cp_f.wait()
 
-        def body(q_buf, qsem):
+        def body(q_buf, qsem, zu_buf=None, zsem=None):
             rr = jnp.float32(0.0)
             rz = jnp.float32(0.0)
+            e0 = jnp.float32(0.0)
             for b in range(n_bands):
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).start()
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).start()
                 x = xv[b * TH:b * TH + TB, :]
                 f = fv.at[:, pl.ds(b * TH, TB), :]
                 w, _ = _matvec_band(x, f, lam, sf, TH, rows)
@@ -813,15 +924,26 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
                     rz = rz + jnp.sum(
                         r * r
                         * fv[ivd_i, b * TH + RING:b * TH + RING + TH, :])
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).wait()
+                    e0 = e0 + _e0_band(x, f, q_buf, zu_buf, lam, sf, TH,
+                                       rows=rows)
             scal[0, S_R1] = rz if jacobi else rr
             if jacobi:
                 scal[0, S_RR2] = rr
+            if track_e:
+                scal[0, S_E] = e0
             r1_ref[lane, 0] = rr
 
         pl.run_scoped(
             body,
             q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
             qsem=pltpu.SemaphoreType.DMA(()),
+            **(dict(zu_buf=pltpu.VMEM((2, TB, X_hbm.shape[-1]),
+                                      jnp.float32),
+                    zsem=pltpu.SemaphoreType.DMA(())) if track_e else {}),
         )
 
     # ---------------- iteration steps --------------------------------
@@ -852,7 +974,9 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
         par = lax.rem(it - 1, 2)
 
         # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>
+        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
         pw = jnp.float32(0.0)
+        pr = jnp.float32(0.0)
         for b in range(n_bands):
             sl_b = slice(b * TH, b * TH + TB)
             r = rv[sl_b, :]
@@ -878,11 +1002,16 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
+            if track_e:
+                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
-        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        scal[0, S_ALPHA] = alpha
+        if track_e:
+            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
+                            - 2.0 * alpha * pr)
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
-        alpha = scal[0, S_ALPHA]
         rr = jnp.float32(0.0)
         rz = jnp.float32(0.0)
         for b in range(n_bands):
@@ -901,18 +1030,19 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm,
             scal[0, S_RR2] = rr
         r1_ref[lane, 0] = rr
 
-    # ---------------- epilogue: write x back --------------------------
+    # ------- epilogue: write x back + the tracked energy ---------------
     @pl.when(it == n_it - 1)
     def _():
+        e_ref[lane, 0] = scal[0, S_E] if track_e else jnp.float32(0.0)
         cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[0])
         cp.start()
         cp.wait()
 
 
-def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
-                        X_out, iters_ref, r1_ref,
+def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
+                        X_out, iters_ref, r1_ref, e_ref,
                         *refs, lam: float, sf: int, n_bands: int, th: int,
-                        jacobi: bool):
+                        jacobi: bool, track_e: bool = False):
     """Hybrid residency: CG state (x/r/p ping-pong/w, + invd for Jacobi)
     stays in VMEM across the whole solve; the 8 packed coefficient rows are
     re-streamed HBM->VMEM band-by-band (double-buffered) in the matvec
@@ -958,15 +1088,20 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
         if jacobi:
             cp_i.wait()
 
-        def body(q_buf, qsem):
+        def body(q_buf, qsem, zu_buf=None, zsem=None):
             rr = jnp.float32(0.0)
             rz = jnp.float32(0.0)
+            e0 = jnp.float32(0.0)
             _f_copy(0, 0).start()
             for b in range(n_bands):
                 cur = b % 2
                 pltpu.make_async_copy(
                     R0_hbm.at[lane, :, pl.ds(b * TH, TB), :],
                     q_buf, qsem).start()
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).start()
                 if b + 1 < n_bands:
                     _f_copy(b + 1, 1 - cur).start()
                 _f_copy(b, cur).wait()
@@ -993,15 +1128,25 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
                 if jacobi:
                     rz = rz + jnp.sum(
                         r * r * ivdv[b * TH + RING:b * TH + RING + TH, :])
+                if track_e:
+                    pltpu.make_async_copy(
+                        Z0U_hbm.at[lane, :, pl.ds(b * TH, TB), :],
+                        zu_buf, zsem).wait()
+                    e0 = e0 + _e0_band(x, f, q_buf, zu_buf, lam, sf, TH)
             scal[0, S_R1] = rz if jacobi else rr
             if jacobi:
                 scal[0, S_RR2] = rr
+            if track_e:
+                scal[0, S_E] = e0
             r1_ref[lane, 0] = rr
 
         pl.run_scoped(
             body,
             q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
             qsem=pltpu.SemaphoreType.DMA(()),
+            **(dict(zu_buf=pltpu.VMEM((2, TB, X_hbm.shape[-1]),
+                                      jnp.float32),
+                    zsem=pltpu.SemaphoreType.DMA(())) if track_e else {}),
         )
 
     # ---------------- iteration steps --------------------------------
@@ -1033,7 +1178,9 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
 
         # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>;
         # F bands stream in double-buffered under the compute.
+        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
         pw = jnp.float32(0.0)
+        pr = jnp.float32(0.0)
         _f_copy(0, 0).start()
         for b in range(n_bands):
             cur = b % 2
@@ -1061,11 +1208,16 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
+            if track_e:
+                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
-        scal[0, S_ALPHA] = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
+        scal[0, S_ALPHA] = alpha
+        if track_e:
+            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
+                            - 2.0 * alpha * pr)
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r> (no F)
-        alpha = scal[0, S_ALPHA]
         rr = jnp.float32(0.0)
         rz = jnp.float32(0.0)
         for b in range(n_bands):
@@ -1084,9 +1236,10 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
             scal[0, S_RR2] = rr
         r1_ref[lane, 0] = rr
 
-    # ---------------- epilogue: write x back --------------------------
+    # ------- epilogue: write x back + the tracked energy ---------------
     @pl.when(it == n_it - 1)
     def _():
+        e_ref[lane, 0] = scal[0, S_E] if track_e else jnp.float32(0.0)
         cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
         cp.start()
         cp.wait()
@@ -1095,11 +1248,18 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm,
 def cg_pallas_vmem_fromop_batched(
     x0, op, gm, ktw, z0t, *, sf: int, lam: float,
     tol: float = 1e-9, max_iter: int = 100, invd=None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    with_energy: bool = False, z0u=None,
+):
     """Lane-batched fully VMEM-resident CG with in-kernel r0 prologue.
 
     Same contract as pallas_cg_pipe.cg_pallas_pipelined_fromop_batched;
-    callers must gate on :func:`supported_vmem`."""
+    callers must gate on :func:`supported_vmem`. With
+    ``with_energy=True`` a 4th array is returned: the depth energy at
+    the final iterate, exactly tracked in-kernel (well-conditioned
+    warm-start evaluation in the prologue + the per-iteration CG
+    identity, see :func:`_e0_band`); the caller adds ``lam * sum B^2``
+    (= op.const). Requires ``z0u``: the (B, 2, hp2, wp)
+    :func:`energy_planes` stack (``srps.SRPSProblem.z0up``)."""
     B, h, w = x0.shape
     jacobi = invd is not None
     if sf not in (1, 2, 4):
@@ -1124,6 +1284,21 @@ def cg_pallas_vmem_fromop_batched(
         [pad_field(r, geo) for r in (o.QB1, o.QB2, o.QB3, z)]))(
             op, jnp.asarray(z0t, jnp.float32))
     X = jax.vmap(lambda a: pad_field(a, geo))(jnp.asarray(x0, jnp.float32))
+    hp2_, wp_ = geo.shape
+    if not with_energy:
+        # track_e=False specializes the kernel: no energy DMAs, dots, or
+        # scalar updates are traced. The operand is a minimal dummy kept
+        # only for the uniform pallas_call signature; it is never read.
+        Z0U = jnp.zeros((B, 2, 8, 128), jnp.float32)
+    else:
+        if z0u is None:
+            raise ValueError("with_energy=True requires z0u "
+                             "(srps.SRPSProblem.z0up / energy_planes)")
+        Z0U = jnp.asarray(z0u, jnp.float32)
+        if Z0U.shape != (B, 2, hp2_, wp_):
+            raise ValueError(
+                f"z0u shape {Z0U.shape} != {(B, 2, hp2_, wp_)} — build it "
+                "with pallas_cg_vmem.energy_planes for this geometry")
     consts = jnp.stack([
         jnp.full((B,), jnp.float32(tol) ** 2),
         jnp.zeros((B,), jnp.float32),
@@ -1148,7 +1323,7 @@ def cg_pallas_vmem_fromop_batched(
             pltpu.VMEM((N_STENCIL, hp2, wp), jnp.float32),  # C resident
         ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if sf == 4 else []) + (
             [pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
-            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SMEM((1, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
     elif mode == "hybrid_stencil":
@@ -1157,7 +1332,7 @@ def cg_pallas_vmem_fromop_batched(
             pltpu.VMEM((2, N_STENCIL, geo.th, wp), jnp.float32),  # C window
         ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if sf == 4 else []) + (
             [pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
-            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SMEM((1, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
         # HBM scratch the prologue fills with the stencil planes (interior
@@ -1169,7 +1344,7 @@ def cg_pallas_vmem_fromop_batched(
         kern_fn = functools.partial(_kernel_vmem, rows=rows)
         scratch = state + [
             pltpu.VMEM((nf, hp2, wp), jnp.float32),   # F resident
-            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SMEM((1, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:  # hybrid: F double-buffered band window (+ resident invd)
@@ -1177,17 +1352,18 @@ def cg_pallas_vmem_fromop_batched(
         scratch = state + [
             pltpu.VMEM((2, 8, tb, wp), jnp.float32),  # F band window
         ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
-            pltpu.SMEM((1, 8), jnp.float32),
+            pltpu.SMEM((1, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
     kernel = functools.partial(
         kern_fn, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
-        jacobi=jacobi)
-    X_new, iters, r1, *_cscr = pl.pallas_call(
+        jacobi=jacobi, track_e=with_energy)
+    X_new, iters, r1, e_part, *_cscr = pl.pallas_call(
         kernel,
         grid=(B, max_iter + 3),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1196,9 +1372,11 @@ def cg_pallas_vmem_fromop_batched(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + extra_out_specs,
         out_shape=[
             jax.ShapeDtypeStruct(X.shape, X.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ] + extra_out_shapes,
@@ -1206,21 +1384,26 @@ def cg_pallas_vmem_fromop_batched(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_BUDGET),
         interpret=_pcg.INTERPRET,
-    )(consts, X, F, R0)
+    )(consts, X, F, R0, Z0U)
     x = jax.vmap(lambda a: unpad_field(a, geo))(X_new)
+    if with_energy:
+        return (x, iters[:, 0].astype(jnp.int32), r1[:, 0], e_part[:, 0])
     return x, iters[:, 0].astype(jnp.int32), r1[:, 0]
 
 
 def cg_pallas_vmem_fromop(
     x0, op, gm, ktw, z0t, *, sf: int, lam: float,
     tol: float = 1e-9, max_iter: int = 100, invd=None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    with_energy: bool = False, z0u=None,
+):
     """Single-problem wrapper over the VMEM-resident variant."""
     add_b = lambda a: jnp.asarray(a)[None]
-    x, iters, r1 = cg_pallas_vmem_fromop_batched(
+    out = cg_pallas_vmem_fromop_batched(
         add_b(x0),
         jax.tree_util.tree_map(add_b, op),
         jax.tree_util.tree_map(add_b, gm),
         add_b(ktw), add_b(z0t), sf=sf, lam=lam, tol=tol, max_iter=max_iter,
-        invd=None if invd is None else add_b(invd))
-    return x[0], iters[0], r1[0]
+        invd=None if invd is None else add_b(invd),
+        with_energy=with_energy,
+        z0u=None if z0u is None else add_b(z0u))
+    return tuple(a[0] for a in out)

@@ -430,3 +430,74 @@ class TestPackEquivalence:
         got_i = jax.lax.bitcast_convert_type(got, jnp.int32)
         want_i = jax.lax.bitcast_convert_type(want, jnp.int32)
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+class TestKernelEnergy:
+    """The in-kernel energy epilogue (E_quad = -x'Mx - 2x'r, one extra
+    resident sweep) must reproduce srps.depth_energy at the final iterate
+    up to f32 reassociation, in every residency mode."""
+
+    CASES = [
+        ("full_stencil", 2, False),
+        ("full_stencil", 2, True),
+        pytest.param("full_stencil", 4, True, marks=pytest.mark.slow),
+        ("hybrid_stencil", 2, False),
+        pytest.param("hybrid_stencil", 4, False, marks=pytest.mark.slow),
+        pytest.param("full", 2, False, marks=pytest.mark.slow),
+        pytest.param("full_packed", 2, True, marks=pytest.mark.slow),
+        ("hybrid", 2, False),
+        pytest.param("hybrid", 1, True, marks=pytest.mark.slow),
+    ]
+
+    @pytest.mark.parametrize("mode,sf,jacobi", CASES)
+    def test_matches_depth_energy(self, rng, mode, sf, jacobi, monkeypatch):
+        monkeypatch.setattr(pvm, "vmem_mode", lambda *a, **k: mode)
+        h, w = 16, 32
+        prob, st, mom, op = _problem(rng, h, w, sf)
+        invd = (1.0 / srps.depth_diag(op, prob, sf, 1.0)) if jacobi else None
+        x, k, r1, e_part = pvm.cg_pallas_vmem_fromop(
+            st.z, op, prob.gm, prob.ktw, prob.z0t, sf=sf, lam=1.0,
+            tol=1e-9, max_iter=12, invd=invd, with_energy=True,
+            z0u=prob.z0up)
+        e_kern = float(e_part + op.const)
+        e_ref = float(srps.depth_energy(x * prob.mask, op, prob, sf, 1.0))
+        np.testing.assert_allclose(e_kern, e_ref, rtol=5e-4)
+
+    def test_estimate_depth_routes_kernel_energy(self, rng):
+        """estimate_depth with kernel_energy on/off: same solution, same
+        energy to f32 reassociation (the vmem route is taken on this
+        grid in interpret mode)."""
+        prob, st, mom, op = _problem(rng, 16, 32, 2)
+        base = dict(use_pallas=True, cg_max_iter=8)
+        z_on, e_on, k_on = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, 2,
+            SolverConfig(**base, kernel_energy=True))
+        z_off, e_off, k_off = srps.estimate_depth(
+            prob, mom, st.rho, st.dz, st.z, 2,
+            SolverConfig(**base, kernel_energy=False))
+        assert int(k_on) == int(k_off)
+        np.testing.assert_array_equal(np.asarray(z_on), np.asarray(z_off))
+        np.testing.assert_allclose(float(e_on), float(e_off), rtol=5e-4)
+
+    def test_batched_energy_matches_per_lane(self, rng):
+        from srmeetsps_cuda_tpu.parallel import batched as pbat
+
+        sf = 2
+        lanes = []
+        for b in range(2):
+            prob, st, mom, op = _problem(np.random.default_rng(b), 16, 32,
+                                         sf)
+            lanes.append((st.z, op, prob.gm, prob.ktw, prob.z0t, prob, st))
+        stack = lambda i: jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *[ln[i] for ln in lanes])
+        z0us = jnp.stack([ln[5].z0up for ln in lanes])
+        xb, kb, rb, eb = pvm.cg_pallas_vmem_fromop_batched(
+            stack(0), stack(1), stack(2), stack(3), stack(4),
+            sf=sf, lam=1.0, tol=1e-9, max_iter=8, with_energy=True,
+            z0u=z0us)
+        for b in range(2):
+            z, op, gm, ktw, z0t, prob, st = lanes[b]
+            e_ref = float(srps.depth_energy(
+                xb[b] * prob.mask, op, prob, sf, 1.0))
+            e_kern = float(eb[b] + op.const)
+            np.testing.assert_allclose(e_kern, e_ref, rtol=5e-4)

@@ -198,9 +198,17 @@ def test_vmem_resident_kernel_on_hw(problem):
     h, w = np.asarray(prob.mask).shape
     assert supported_vmem(h, w, sf) and supported_vmem(h, w, sf, jacobi=True)
     _, res = _ref(prob, st, op, sf, 8)
-    x, k, _ = cg_pallas_vmem_fromop(st.z, op, prob.gm, prob.ktw, prob.z0t,
-                                    sf=sf, lam=1.0, tol=1e-4, max_iter=8)
+    x, k, _, e_part = cg_pallas_vmem_fromop(
+        st.z, op, prob.gm, prob.ktw, prob.z0t,
+        sf=sf, lam=1.0, tol=1e-4, max_iter=8, with_energy=True,
+        z0u=prob.z0up)
     _check(x, k, res)
+    # The exactly-tracked in-kernel energy must reproduce depth_energy
+    # at the returned iterate on real Mosaic too (the naive x'Mx - 2x'rhs
+    # identity fails in f32 at real depth magnitudes — see _e0_band).
+    e_kern = float(e_part + op.const)
+    e_ref = float(srps.depth_energy(x * prob.mask, op, prob, sf, 1.0))
+    np.testing.assert_allclose(e_kern, e_ref, rtol=1e-3)
 
     mv = functools.partial(srps.depth_matvec, op=op, prob=prob, sf=sf,
                            lam=1.0)
