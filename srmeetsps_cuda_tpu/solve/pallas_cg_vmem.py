@@ -307,11 +307,15 @@ def _e0_band(x, f, q, zu, lam: float, sf: int, th: int,
       ``up(masks)`` / ``up(masks * z0s)`` planes (``zu`` rows 0/1), every
       HR pixel of a tile carrying the tile residual, summed / sf^2.
 
-    The per-iteration update is then the exact CG identity
-    ``E(x + alpha p) = E(x) + alpha^2 <p, Mp> - 2 alpha <p, r>`` — all
-    three scalars are literal in-kernel dots, so no further field passes
-    are needed (devicecalls.cu:762-767 recomputes the energy with two
-    SpMVs instead)."""
+    The per-iteration update is then the CG identity
+    ``E(x + alpha p) = E(x) + alpha^2 <p, Mp> - 2 alpha <p, r>`` with
+    ``<p, r> = <z, r>`` (local orthogonality ``<p_old, r> = 0``), i.e.
+    ``E -= alpha * r1`` — pure SMEM scalar math on dots the sweep
+    already computes, no extra band passes. (A literal per-band
+    ``<p, r>`` dot was measured ~2 ms/outer-iter slower and only ~2x
+    more accurate on a cond-1e8 synthetic — 0.13% vs 0.26% after 101
+    f32 iterations; devicecalls.cu:762-767 recomputes the energy with
+    two SpMVs instead.)"""
     fwd_x, bwd_x, fwd_y, bwd_y = _band_masks(f, rows)
     g = fwd_x * (_shift(x, 0, 1) - x) + bwd_x * (x - _shift(x, 0, -1))
     h = fwd_y * (_shift(x, 1, 0) - x) + bwd_y * (x - _shift(x, -1, 0))
@@ -526,9 +530,8 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
         par = lax.rem(it - 1, 2)
 
         # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw = <p, w>
-        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
+        # (track_e's energy update is scalar-only, see _e0_band)
         pw = jnp.float32(0.0)
-        pr = jnp.float32(0.0)
         for b in range(n_bands):
             sl_b = slice(b * TH, b * TH + TB)
             r = rv[sl_b, :]
@@ -554,14 +557,11 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
-            if track_e:
-                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
         alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
         scal[0, S_ALPHA] = alpha
         if track_e:
-            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
-                            - 2.0 * alpha * pr)
+            scal[0, S_E] = scal[0, S_E] - alpha * scal[0, S_R1]
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
         rr = jnp.float32(0.0)
@@ -778,9 +778,8 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
         # sweep A: p = z + beta p (ping-pong), w = C-stencil p, pw;
         # C interior bands stream in double-buffered under the compute.
-        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
+        # (track_e's energy update is scalar-only, see _e0_band)
         pw = jnp.float32(0.0)
-        pr = jnp.float32(0.0)
         _c_in_copy(0, 0).start()
         for b in range(n_bands):
             cur = b % 2
@@ -811,14 +810,11 @@ def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
-            if track_e:
-                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
         alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
         scal[0, S_ALPHA] = alpha
         if track_e:
-            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
-                            - 2.0 * alpha * pr)
+            scal[0, S_E] = scal[0, S_E] - alpha * scal[0, S_R1]
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
         rr = jnp.float32(0.0)
@@ -974,9 +970,8 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
         par = lax.rem(it - 1, 2)
 
         # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>
-        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
+        # (track_e's energy update is scalar-only, see _e0_band)
         pw = jnp.float32(0.0)
-        pr = jnp.float32(0.0)
         for b in range(n_bands):
             sl_b = slice(b * TH, b * TH + TB)
             r = rv[sl_b, :]
@@ -1002,14 +997,11 @@ def _kernel_vmem(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
-            if track_e:
-                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
         alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
         scal[0, S_ALPHA] = alpha
         if track_e:
-            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
-                            - 2.0 * alpha * pr)
+            scal[0, S_E] = scal[0, S_E] - alpha * scal[0, S_R1]
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r>
         rr = jnp.float32(0.0)
@@ -1178,9 +1170,8 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
         # sweep A: p = z + beta p (ping-pong), w = M p, pw = <p, w>;
         # F bands stream in double-buffered under the compute.
-        # (+ pr = <p, r> for the exact energy recurrence, see _e0_band)
+        # (track_e's energy update is scalar-only, see _e0_band)
         pw = jnp.float32(0.0)
-        pr = jnp.float32(0.0)
         _f_copy(0, 0).start()
         for b in range(n_bands):
             cur = b % 2
@@ -1208,14 +1199,11 @@ def _kernel_vmem_hybrid(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
             wv[sl_i, :] = w
             pw = pw + jnp.sum(pin * w)
-            if track_e:
-                pr = pr + jnp.sum(pin * rv[sl_i, :])
         scal[0, S_PW] = pw
         alpha = scal[0, S_R1] / jnp.where(pw == 0.0, 1.0, pw)
         scal[0, S_ALPHA] = alpha
         if track_e:
-            scal[0, S_E] = (scal[0, S_E] + alpha * alpha * pw
-                            - 2.0 * alpha * pr)
+            scal[0, S_E] = scal[0, S_E] - alpha * scal[0, S_R1]
 
         # sweep B: x += alpha p_new; r -= alpha w; rr = <r, r> (no F)
         rr = jnp.float32(0.0)
