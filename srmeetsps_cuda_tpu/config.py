@@ -77,18 +77,18 @@ class SolverConfig:
     pallas_vmem_resident: bool = True
     # Track the depth energy inside the VMEM-resident CG kernels
     # (well-conditioned residual-form evaluation at the warm start +
-    # the exact per-iteration CG identity E(x+ap) = E(x) + a^2<p,Mp>
-    # - 2a<p,r>) instead of the separate XLA pass over the 10
-    # coefficient planes. Same quantity up to f32 reassociation
-    # (tested to 5e-4 rel in every residency mode, on hw to 1e-3) —
-    # but MEASURED SLOWER: the per-iteration <p,r> dot costs ~2.0
-    # ms/outer-iteration at cap-100 vs the ~0.4 ms XLA energy pass it
-    # replaces (tools/profile_kenergy.py, interleaved order-alternating
-    # chained differencing, -1.6/-2.0 ms across runs; the harness's
-    # --null self-calibration bounds its bias at 0.14 ms). Kept opt-in
-    # as the right shape for multi-chip (no extra full-grid pass), like
-    # the CGS sweep.
-    kernel_energy: bool = False
+    # the scalar-only CG identity E -= alpha * <z,r>, see
+    # pallas_cg_vmem._e0_band) instead of the separate XLA pass over
+    # the 10 coefficient planes. Same quantity up to f32 reassociation
+    # (tested to 5e-4 rel in every residency mode, on hw to 2.3e-5 on
+    # the Mitten fixture) and MEASURED FASTER: +0.42 ms/outer-iteration
+    # at cap-100 (tools/profile_kenergy.py, interleaved
+    # order-alternating chained differencing; the harness's --null
+    # self-calibration bounds its bias at 0.06 ms). An earlier literal
+    # per-band <p,r> dot variant cost ~2.0 ms/outer-iter and kept this
+    # opt-in; the scalar identity made it the default. Set False for
+    # bit-exact energy parity with the XLA pass.
+    kernel_energy: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
