@@ -206,39 +206,54 @@ def estimate_lighting(prob: SRPSProblem, rho, N, s_prev=None) -> jax.Array:
     s — so when the direct solve produces non-finite values, ``s_prev`` is
     kept instead.
     """
-    h, w = prob.mask.shape
-    c, n = prob.I.shape[:2]
+    h, w = prob.mask.shape[-2:]
+    c, n = prob.I.shape[-3:-1]
+    # Leading batch dims (the lane-batched path): do NOT vmap this
+    # function. Two-batch-dim (B, c) dots flip XLA's layout preference
+    # for the big I operand — the compiled body then relayouts the whole
+    # stacked image stack (2 x B x 295 MB of copies EVERY outer
+    # iteration, un-hoistable from the while loop; round-4 HLO census,
+    # tools/dump_hlo_batched.py). Merging (B, c) -> one batch axis keeps
+    # the dots in the exact shape class of the single-problem program.
+    lead = rho.shape[:-3]
+    x = c
+    for d in lead:
+        x *= int(d)
     # Work in flat pixel space: retiling the 7 small inputs (rho, N) once
     # beats retiling the 12-field product T = rho*N every iteration, and
     # the flat forms are shared (CSE) with estimate_albedo inside the
     # jitted outer iteration.
-    rf = rho.reshape(c, h * w)
-    Nf = N.reshape(4, h * w)
+    rf = rho.reshape(x, h * w)
+    Nf = N.reshape(lead + (4, h * w))
+    If = prob.I.reshape(x, n, h * w)
     # ATA[c,a,b] = sum_p rho_c^2 N_a N_b — ten unique masked reductions,
     # unrolled over the tiny (a, b) axes so XLA fuses them into one pass
     # over rho/N (materialising T = rho*N costs an extra 2x c x npix
     # round-trip and the "cap,cbp->cab" einsum lowers transpose-heavy).
-    R2 = rf * rf  # (c,P)
+    R2 = (rf * rf).reshape(lead + (c, h * w))  # (...,c,P)
     ata = {}
     for a in range(4):
         for b in range(a, 4):
-            ata[(a, b)] = jnp.sum(R2 * (Nf[a] * Nf[b]), axis=1)
+            ata[(a, b)] = jnp.sum(
+                R2 * (Nf[..., a, :] * Nf[..., b, :])[..., None, :], axis=-1)
     ATA = jnp.stack([
         jnp.stack([ata[(min(a, b), max(a, b))] for b in range(4)], axis=-1)
         for a in range(4)
-    ], axis=-2)  # (c,4,4)
-    # ATb[n,c,a] = <rho_c N_a, I_cn> — a c-batched (4,P)@(P,n) matmul on
-    # the channel-major image layout.
-    T = rf[:, None] * Nf[None, :]  # (c,4,P) masked, flat-native
-    ATb = jnp.einsum("cap,cnp->nca", T, prob.I, precision=HI,
-                     preferred_element_type=jnp.float32)  # (n,c,4)
+    ], axis=-2)  # (...,c,4,4)
+    # ATb[c,n,a] = <rho_c N_a, I_cn> — a c-batched (4,P)@(P,n) matmul on
+    # the channel-major image layout (x-batched when lanes are stacked).
+    T = (rf.reshape(lead + (c, 1, h * w))
+         * Nf[..., None, :, :]).reshape(x, 4, h * w)  # (x,4,P) masked
+    ATb = jnp.einsum("xap,xnp->xna", T, If, precision=HI,
+                     preferred_element_type=jnp.float32)  # (x,n,4)
+    ATb = ATb.reshape(lead + (c, n, 4))
     # Closed-form 4x4 solve (adjugate/Cramer): batched jnp.linalg.solve
     # lowers to a per-matrix LU loop on TPU (~1.2 ms/outer-iteration for
     # the (n,c) batch of sixty 4x4s); the cofactor expansion is ~60
     # elementwise ops on (c,)-vectors. A singular ATA (degenerate channel)
     # yields det=0 -> inf/nan, caught by the s_prev retention below.
-    inv = _inv4(ATA)  # (c,4,4)
-    sol = jnp.einsum("cab,ncb->nca", inv, ATb, precision=HI)
+    inv = _inv4(ATA)  # (...,c,4,4)
+    sol = jnp.einsum("...cab,...cnb->...nca", inv, ATb, precision=HI)
     if s_prev is None:
         return sol
     ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
@@ -297,9 +312,18 @@ class SMoments(NamedTuple):
 
 
 def s_moments(prob: SRPSProblem, s) -> SMoments:
-    h, w = prob.mask.shape
-    c = prob.I.shape[0]
-    G = jnp.einsum("nck,ncl->ckl", s, s, precision=HI)
+    h, w = prob.mask.shape[-2:]
+    c, n = prob.I.shape[-3:-1]
+    # Leading batch dims handled by merging (B, c) -> one batch axis,
+    # same reasoning as estimate_lighting: a two-batch-dim dot flips the
+    # layout XLA assigns to the big I operand and forces whole-stack
+    # relayout copies inside the batched while body (round-4 HLO census,
+    # tools/dump_hlo_batched.py). Do NOT vmap this function.
+    lead = s.shape[:-3]
+    x = c
+    for d in lead:
+        x *= int(d)
+    G = jnp.einsum("...nck,...ncl->...ckl", s, s, precision=HI)
     # c-batched (4,n)@(n,P) matmul on the pre-flattened channel-major
     # layout — one clean streaming pass over I — then ONE retile of the
     # (c,4,P) result to image space. Keeping J flat instead (round-3
@@ -308,10 +332,12 @@ def s_moments(prob: SRPSProblem, s) -> SMoments:
     # (tools/profile_jreads.py: flat 6.81 vs hw 6.17 ms/iter in context;
     # XLA materialises the retile once — an optimization_barrier here
     # measured 0.04 ms SLOWER, tools/profile_prod.py).
+    sx = jnp.moveaxis(s, -3, -2).reshape(x, n, 4)  # (...,n,c,k)->(x,n,k)
+    If = prob.I.reshape(x, n, h * w)
     J = jnp.einsum(
-        "nck,cnp->ckp", s.astype(prob.I.dtype), prob.I,
+        "xnk,xnp->xkp", sx.astype(prob.I.dtype), If,
         precision=HI, preferred_element_type=jnp.float32,
-    ).reshape(c, 4, h, w)
+    ).reshape(lead + (c, 4, h, w))
     return SMoments(G, J)
 
 

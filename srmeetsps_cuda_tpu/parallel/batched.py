@@ -42,8 +42,13 @@ def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     from ..solve.pallas_cg_pipe import cg_pallas_pipelined_fromop_batched
 
     lam = cfg.lam
-    s = jax.vmap(srps.estimate_lighting)(probs, states.rho, states.N, states.s)
-    mom = jax.vmap(srps.s_moments)(probs, s)
+    # Lighting and moments are called batch-aware, NOT vmapped: their big
+    # image-stack dots merge (B, c) into one batch axis internally —
+    # vmapping them instead makes XLA relayout the whole stacked I
+    # (2 x B x 295 MB of copies per outer iteration; see the HLO-census
+    # note in srps.estimate_lighting / tools/dump_hlo_batched.py).
+    s = srps.estimate_lighting(probs, states.rho, states.N, states.s)
+    mom = srps.s_moments(probs, s)
     rho = jax.vmap(srps.estimate_albedo)(probs, mom, states.N, states.rho)
     op = jax.vmap(lambda p, m, r, d: srps.build_depth_operator(p, m, r, d, lam)
                   )(probs, mom, rho, states.dz)
