@@ -43,8 +43,10 @@ class SolverConfig:
     bilateral_sigma_color: float = 2.0
     bilateral_sigma_space: float = 2.0
     # Iterations for the JAX diffusion-based inpainting substitute for
-    # cv::INPAINT_TELEA. Chosen so holes of ~2*inpaint_radius close.
-    inpaint_iters: int = 512
+    # cv::INPAINT_TELEA. None = derived from the radius as
+    # 2 * inpaint_radius**2 (diffusion closes a hole of radius r in O(r^2)
+    # sweeps; 512 at the reference radius 16). Set explicitly to override.
+    inpaint_iters: Optional[int] = None
 
     # Jacobi (diagonal) preconditioning of the depth CG system. The
     # reference uses plain CG; Jacobi typically cuts iterations ~2x and is
@@ -81,7 +83,11 @@ class SolverConfig:
     # pallas_cg_vmem._e0_band) instead of the separate XLA pass over
     # the 10 coefficient planes. Same quantity up to f32 reassociation
     # (tested to 5e-4 rel in every residency mode, on hw to 2.3e-5 on
-    # the Mitten fixture) and MEASURED FASTER: +0.42 ms/outer-iteration
+    # the Mitten fixture; note the energy feeds the outer stopping rule,
+    # so on a problem whose stop decision sits within ~5e-4 rel of the
+    # boundary the outer iteration COUNT can differ from the
+    # kernel_energy=False trajectory — the bench asserts outer-iteration
+    # parity on its fixtures each round) and MEASURED FASTER: +0.42 ms/outer-iteration
     # at cap-100 (tools/profile_kenergy.py, interleaved
     # order-alternating chained differencing; the harness's --null
     # self-calibration bounds its bias at 0.06 ms). An earlier literal
@@ -109,7 +115,7 @@ class RuntimeConfig:
     # Dump s/rho/z/N every outer iteration (reference SRPS.cu:330-333).
     dump_iterations: bool = False
     dump_dir: str = "."
-    dump_format: str = "mat"  # "mat" | "npz"
+    dump_format: str = "mat"  # "mat" (MAT 7.3 HDF5) | "mat5" | "npz"
     # Save PNG visualizations (replaces the reference's cv::imshow windows).
     save_visualizations: bool = False
     # Structured per-iteration metrics as JSONL (path or None).

@@ -44,8 +44,12 @@ def save_mat_dataset(path: str, data: ProblemData, fmt: str = "mat73"):
 
     The inverse of :func:`load_mat_dataset` — used to convert image-folder
     datasets to the MATLAB input path and by the round-trip tests/bench."""
-    I = np.moveaxis(np.asarray(data.I), (0, 1, 2, 3), (3, 2, 0, 1))  # (h,w,c,n)
-    z0 = np.moveaxis(np.asarray(data.z0), 0, -1)  # (h/sf, w/sf, m)
+    # I/K/z0 must be doubles: the reference's MatFileDataHandler memcpy's
+    # their payloads as double (Utilities.cpp:124-131,173,195) — float32
+    # variables would be decoded as garbage by the reference binary.
+    I = np.moveaxis(np.asarray(data.I, np.float64),
+                    (0, 1, 2, 3), (3, 2, 0, 1))  # (h,w,c,n)
+    z0 = np.moveaxis(np.asarray(data.z0, np.float64), 0, -1)  # (h/sf,w/sf,m)
     out = {
         "I": I,
         "K": np.asarray(data.K, np.float64),

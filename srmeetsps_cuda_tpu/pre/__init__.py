@@ -33,7 +33,11 @@ def preprocess_depth(z0, h: int, w: int, cfg: SolverConfig = SolverConfig()):
       HR initial depth (h, w).
     """
     zs_mean, holes = mean_across_frames(jnp.asarray(z0, jnp.float32))
-    zs = inpaint_diffusion(zs_mean, holes, iters=cfg.inpaint_iters)
+    # Default iteration count derives from the reference's Telea radius
+    # (SRPS.cu:133): diffusion closes a hole of radius r in O(r^2) sweeps.
+    iters = (cfg.inpaint_iters if cfg.inpaint_iters is not None
+             else 2 * cfg.inpaint_radius ** 2)
+    zs = inpaint_diffusion(zs_mean, holes, iters=iters)
     mx = jnp.max(zs)
     mx = jnp.where(mx == 0, 1.0, mx)
     zs_n = zs / mx

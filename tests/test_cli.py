@@ -279,3 +279,29 @@ def test_cli_serve_loop(rng, tmp_path, monkeypatch, capsys):
     assert np.isfinite(lines[1]["final_energy"])
     assert lines[2]["batch"] == 2
     assert all(np.isfinite(e) for e in lines[2]["final_energy"])
+
+
+def test_cli_tpu_auto_routing():
+    """VERDICT r4 item 1: a bare invocation on a TPU backend must resolve to
+    the benchmark headline path (Pallas kernels + fused outer loop), matching
+    the reference binary's run-the-optimized-path-by-default behaviour
+    (Main.cpp:34-35); CPU keeps the jnp stepwise defaults; explicit
+    --no-pallas/--stepwise opt-outs win over the backend default."""
+    parser = cli.build_parser()
+
+    # Bare invocation: backend decides.
+    for backend, expect in [("tpu", True), ("axon", True), ("cpu", False)]:
+        args = parser.parse_args(["--dsloc", "x"])
+        args = cli.resolve_auto_flags(args, backend)
+        assert args.pallas is expect, backend
+        assert args.fused is expect, backend
+
+    # Explicit opt-outs beat the TPU default.
+    args = parser.parse_args(["--dsloc", "x", "--no-pallas", "--stepwise"])
+    args = cli.resolve_auto_flags(args, "tpu")
+    assert args.pallas is False and args.fused is False
+
+    # Explicit opt-ins beat the CPU default.
+    args = parser.parse_args(["--dsloc", "x", "--pallas", "--fused"])
+    args = cli.resolve_auto_flags(args, "cpu")
+    assert args.pallas is True and args.fused is True

@@ -433,9 +433,15 @@ class TestPackEquivalence:
 
 
 class TestKernelEnergy:
-    """The in-kernel energy epilogue (E_quad = -x'Mx - 2x'r, one extra
-    resident sweep) must reproduce srps.depth_energy at the final iterate
-    up to f32 reassociation, in every residency mode."""
+    """In-kernel energy tracking must reproduce srps.depth_energy at the
+    final iterate up to f32 reassociation, in every residency mode.
+
+    The implementation evaluates the energy once at the warm start in the
+    it=0 prologue in well-conditioned residual form (see
+    pallas_cg_vmem._e0_band, which also documents why the quadratic
+    identity E = -x'Mx - 2x'b is f32-unusable), then tracks it through the
+    solve with the scalar CG identity E -= alpha * <z, r> (= alpha * r1,
+    by CG orthogonality) — pure SMEM math, no extra sweeps."""
 
     CASES = [
         ("full_stencil", 2, False),
