@@ -48,11 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobi-preconditioned depth CG (faster; the "
                    "reference uses plain CG)")
     p.add_argument("--fast", action="store_true",
-                   help="accuracy-matched fast preset: Jacobi CG at cap 30 "
-                        "(final energy within 0.01%% of the reference plain "
-                        "CG@100 on Mitten at ~0.77x device time, "
-                        "tools/profile_fast.py); explicit --jacobi/"
-                        "--cg-max-iter still override")
+                   help="fast preset: plain CG at cap 40 — the SAME "
+                        "recurrence as the reference, only the iteration "
+                        "cap changes. Measured 0.84x device time, final "
+                        "energy +0.12%% on Mitten, and slightly BETTER "
+                        "ground-truth accuracy on the consistency fixture "
+                        "(round-5 re-tune, tools/profile_fast.py: the "
+                        "r3 jacobi@30 preset's win evaporated once "
+                        "kernel_energy became the default — jacobi's "
+                        "in-kernel PCG sweep costs ~2x/iteration). "
+                        "Explicit --cg-max-iter still overrides")
     # Runtime.
     p.add_argument("--fused", action="store_true", default=None,
                    help="run the whole outer loop on-device (no per-iteration "
@@ -79,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stepwise", dest="fused", action="store_false",
                    help="force one host-synced outer iteration per step "
                         "(per-phase timings; the TPU default is --fused)")
+    p.add_argument("--batch-mode", choices=["auto", "stream", "lockstep"],
+                   default="auto",
+                   help="multi-object (comma --dsloc) execution form: "
+                        "stream = async per-lane dispatch of the resident "
+                        "fused solve (single-chip throughput optimum, "
+                        "lanes bit-identical to solo runs); lockstep = one "
+                        "lane-batched launch (single-dispatch latency, "
+                        "multi-chip DP form); auto = stream on one device")
     p.add_argument("--cg-variant", choices=["pipe", "cgs"], default="pipe",
                    help="Pallas CG flavour: pipe = standard two-phase "
                         "pipelined kernel (default); cgs = Chronopoulos-"
@@ -151,10 +164,8 @@ def main(argv=None) -> int:
 
     if args.fast:
         # Preset only where the user did not explicitly choose.
-        if not args.jacobi:
-            args.jacobi = True
         if args.cg_max_iter == 100:
-            args.cg_max_iter = 30
+            args.cg_max_iter = 40
     cfg = SolverConfig(
         tolerance=args.tolerance,
         max_iterations=args.max_iterations,
@@ -177,6 +188,7 @@ def main(argv=None) -> int:
         fused_outer_loop=args.fused,
         nan_check=args.nan_check,
         profile_dir=args.profile_dir,
+        batch_mode=args.batch_mode,
     )
 
     if args.serve:
@@ -250,16 +262,19 @@ def _run_serve(load_fn, cfg, rt) -> int:
                     W += (-W) % sf
                     pad_to = (H, W)
                 pairs = [prepare(d, cfg, pad_to=pad_to) for d in datas]
-                prob_b = batched.stack_problems([p for p, _ in pairs])
-                st_b = batched.stack_states([s for _, s in pairs])
                 t = Timer().start()
-                final, trace = batched.solve_batched(st_b, prob_b, sf, cfg)
-                dt_solve = t.end(final.z)
-                tr = np.asarray(trace)
+                finals, traces = batched.solve_batch(
+                    [s for _, s in pairs], [p for p, _ in pairs], sf, cfg,
+                    mode=rt.batch_mode)
+                # One device runs programs in dispatch order: forcing the
+                # last lane forces them all (streaming-mode contract).
+                dt_solve = t.end(finals[-1].z)
+                trs = [np.asarray(tr) for tr in traces]
                 out = {"dsloc": req, "batch": len(datas),
-                       "iterations": [int(np.isfinite(tr[b]).sum())
-                                      for b in range(len(datas))],
-                       "final_energy": np.asarray(final.energy).tolist()}
+                       "iterations": [int(np.isfinite(tr).sum())
+                                      for tr in trs],
+                       "final_energy": [float(np.asarray(f.energy))
+                                        for f in finals]}
             out["solve_seconds"] = round(dt_solve, 4)
             out["total_seconds"] = round(time.perf_counter() - t0, 4)
             print(json.dumps(out), flush=True)
@@ -309,8 +324,6 @@ def _run_batched(datas, locs, cfg, rt):
         pb, st = prepare(d, cfg, pad_to=pad_to)
         probs.append(pb)
         states.append(st)
-    prob_b = batched.stack_problems(probs)
-    state_b = batched.stack_states(states)
     profiler_cm = None
     if rt.profile_dir:
         import jax
@@ -318,12 +331,17 @@ def _run_batched(datas, locs, cfg, rt):
         profiler_cm = jax.profiler.trace(rt.profile_dir)
         profiler_cm.__enter__()
     try:
-        final, trace = batched.solve_batched(state_b, prob_b, sf, cfg)
-        trace = np.asarray(trace)
+        # "auto" = per-lane async streaming of the resident fused solve on
+        # a single chip (matches the single-stream sustained rate; lanes
+        # bit-identical to solo runs), lockstep lane-batched launch when
+        # multiple devices are visible (parallel/batched.py rationale).
+        finals, traces = batched.solve_batch(states, probs, sf, cfg,
+                                             mode=rt.batch_mode)
+        traces = [np.asarray(tr) for tr in traces]
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
-    final_energies = np.asarray(final.energy)
+    final_energies = [float(np.asarray(f.energy)) for f in finals]
     # Output names: dataset basename, deduped with the lane index when two
     # --dsloc entries share a basename (they'd otherwise overwrite each
     # other's dumps).
@@ -334,21 +352,21 @@ def _run_batched(datas, locs, cfg, rt):
     metrics = []
     for b, loc in enumerate(locs):
         name = names[b]
-        n_it = int(np.isfinite(trace[b]).sum())
+        n_it = int(np.isfinite(traces[b]).sum())
         # Report the energy of the state actually written (the last
         # iterate), not the trajectory minimum — the stopping rule allows
         # a final energy increase (reference semantics).
         print(f"[{name}] {n_it} iterations, final energy "
-              f"{float(final_energies[b]):.3f}")
+              f"{final_energies[b]:.3f}")
         for i in range(n_it):
             metrics.append({"object": name, "iteration": i + 1,
-                            "energy": float(trace[b, i])})
+                            "energy": float(traces[b][i])})
         metrics.append({"object": name, "iterations": n_it,
-                        "final_energy": float(final_energies[b])})
+                        "final_energy": final_energies[b]})
         if rt.dump_iterations or rt.save_visualizations:
             sub = os.path.join(rt.dump_dir, name)
             os.makedirs(sub, exist_ok=True)
-            st_b = srps.SRPSState(*[np.asarray(x)[b] for x in final])
+            st_b = srps.SRPSState(*[np.asarray(x) for x in finals[b]])
             mask = np.asarray(probs[b].mask)
             if pad_to is not None:
                 # Crop the grid-shaped fields back to the object's native

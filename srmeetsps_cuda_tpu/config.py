@@ -131,6 +131,12 @@ class RuntimeConfig:
     nan_check: bool = False
     # Capture a jax.profiler trace of the solve into this directory.
     profile_dir: Optional[str] = None
+    # Multi-object batch execution form (parallel/batched.py::solve_batch):
+    # "stream" = async per-lane dispatch of the resident fused solve
+    # (single-chip throughput optimum), "lockstep" = one lane-batched
+    # launch (single-dispatch latency / multi-chip DP form), "auto" =
+    # stream on one device, lockstep on several.
+    batch_mode: str = "auto"
     # Run the whole outer loop on-device inside one lax.while_loop (no
     # per-iteration host sync). Iteration metrics are then only available
     # as a trace after the solve.

@@ -31,6 +31,91 @@ def stack_states(states) -> srps.SRPSState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def _unstack_all(tree, B: int):
+    """Split a stacked pytree into B per-lane pytrees with ONE jitted
+    program. A naive per-leaf ``x[i]`` in Python dispatches ~20*B tiny
+    slice programs, each paying the dispatch channel's per-call latency —
+    through the axon tunnel that measured 0.33 s/batch vs the 0.10 s the
+    solves themselves take."""
+    f = jax.jit(lambda t: tuple(
+        jax.tree_util.tree_map(lambda x: x[i], t) for i in range(B)))
+    return f(tree)
+
+
+def solve_batched_streaming(states, probs, sf: int, cfg: SolverConfig):
+    """Throughput batching on ONE chip: B asynchronous dispatches of the
+    resident single-problem fused solve (``srps.solve_fused``), nothing
+    forced to the host here — the caller's single result fetch (the LAST
+    lane suffices: one device executes programs in dispatch order)
+    overlaps every lane's dispatch latency with the previous lane's
+    device work.
+
+    Why this beats the lockstep kernel on a single chip: the lane-batched
+    Pallas launch runs lanes SEQUENTIALLY over its grid (one TensorCore),
+    so lockstep offers no cross-lane amortisation to pay for its vmapped
+    glue — the per-iteration lane freeze (`where` over the full state) and
+    the all-lanes-run-until-the-last-stops outer loop. Measured round 4:
+    lockstep B=4 28.9 solves/s vs 41.2 single-stream sustained on the same
+    geometry (BENCH_r04.json); streaming IS the single-stream program per
+    lane, so it matches the sustained rate by construction and each lane's
+    trajectory is bit-identical to its solo solve.
+
+    When lockstep (:func:`solve_batched`) still wins: ONE program launch
+    for the whole batch (mixed-geometry serving latency through a
+    high-RTT dispatch channel) and the data-parallel multi-chip form
+    (lanes sharded over a mesh — see ``parallel/sharded.py``), where the
+    lanes really do run concurrently.
+
+    ``states``/``probs``: per-lane SEQUENCES (preferred — zero unstack
+    cost) or stacked pytrees (split by one jitted program). Returns
+    (list of final states, list of energy traces), one entry per lane.
+    """
+    if isinstance(states, srps.SRPSState):
+        B = states.z.shape[0]
+        states = _unstack_all(states, B)
+        probs = _unstack_all(probs, B)
+    fused = _jit_solve_fused()
+    results = [fused(st, pb, sf, cfg) for st, pb in zip(states, probs)]
+    return [r[0] for r in results], [r[1] for r in results]
+
+
+def _jit_solve_fused():
+    # Reuse the runtime's jitted fused solve so serve/CLI/bench share one
+    # compile-cache entry per geometry.
+    from ..runtime.solver import _jit_solve_fused as f
+
+    return f
+
+
+def resolve_batch_mode(mode: str = "auto") -> str:
+    """"auto" = stream on a single-device backend (throughput optimum),
+    lockstep when multiple devices are visible (the lane-sharded DP form
+    needs one program over all lanes)."""
+    if mode == "auto":
+        return "stream" if jax.device_count() == 1 else "lockstep"
+    if mode in ("stream", "lockstep"):
+        return mode
+    raise ValueError(f"unknown batch mode {mode!r}")
+
+
+def solve_batch(states, probs, sf: int, cfg: SolverConfig,
+                mode: str = "auto"):
+    """Route a batch to the right execution form (see
+    :func:`resolve_batch_mode`). ``states``/``probs``: per-lane sequences
+    or stacked pytrees. Returns (list of final states, list of traces) —
+    lockstep results are split back to lanes for a uniform contract."""
+    mode = resolve_batch_mode(mode)
+    if mode == "stream":
+        return solve_batched_streaming(states, probs, sf, cfg)
+    if not isinstance(states, srps.SRPSState):
+        states = stack_states(list(states))
+        probs = stack_problems(list(probs))
+    final, trace = solve_batched(states, probs, sf, cfg)
+    B = final.z.shape[0]
+    finals = _unstack_all(final, B)
+    return list(finals), [trace[b] for b in range(B)]
+
+
 def _iteration_batched_pallas(states, probs, sf: int, cfg: SolverConfig):
     """One outer iteration for a stacked batch, with the depth CG running
     as ONE lane-batched Pallas launch (vmap of the manual-DMA kernel is

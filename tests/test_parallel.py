@@ -54,6 +54,67 @@ class TestBatched:
                 trace_b[b, :m], np.asarray(trace_s)[:m], rtol=1e-2)
 
 
+class TestBatchedStreaming:
+    """solve_batched_streaming = B async dispatches of the SAME jitted
+    fused-solve program a solo run uses, so each lane must be
+    bit-identical to its solo solve (the lockstep test above only gets
+    rtol=1e-2 because vmap reorders reductions)."""
+
+    def test_streaming_matches_solo_bitexact(self, rng):
+        from srmeetsps_cuda_tpu.runtime.solver import _jit_solve_fused
+
+        cfg = SolverConfig(max_iterations=3)
+        sf = 2
+        probs, states = [], []
+        for b in range(3):
+            pb, st = make_problem(rng, seed_shift=0.1 * b)
+            probs.append(pb)
+            states.append(st)
+        finals, traces = batched.solve_batched_streaming(
+            states, probs, sf, cfg)
+        # Stacked input form: one jitted unstack, same results.
+        finals2, traces2 = batched.solve_batched_streaming(
+            batched.stack_states(states), batched.stack_problems(probs),
+            sf, cfg)
+        for b in range(3):
+            final_s, trace_s = _jit_solve_fused(states[b], probs[b], sf, cfg)
+            assert int(np.asarray(finals[b].iteration)) == int(
+                final_s.iteration)
+            np.testing.assert_array_equal(np.asarray(finals[b].z),
+                                          np.asarray(final_s.z))
+            np.testing.assert_array_equal(np.asarray(traces[b]),
+                                          np.asarray(trace_s))
+            np.testing.assert_array_equal(np.asarray(finals2[b].z),
+                                          np.asarray(final_s.z))
+            np.testing.assert_array_equal(np.asarray(traces2[b]),
+                                          np.asarray(trace_s))
+
+    def test_solve_batch_routing(self, rng):
+        cfg = SolverConfig(max_iterations=2)
+        sf = 2
+        pairs = [make_problem(rng, seed_shift=0.1 * b) for b in range(2)]
+        probs = [p for p, _ in pairs]
+        states = [s for _, s in pairs]
+        f_st, t_st = batched.solve_batch(states, probs, sf, cfg,
+                                         mode="stream")
+        f_lk, t_lk = batched.solve_batch(states, probs, sf, cfg,
+                                         mode="lockstep")
+        # Same trajectories up to reduction order (see lockstep test).
+        for b in range(2):
+            n = min(int(np.isfinite(np.asarray(t_st[b])).sum()),
+                    int(np.isfinite(np.asarray(t_lk[b])).sum()))
+            np.testing.assert_allclose(np.asarray(t_st[b])[:n],
+                                       np.asarray(t_lk[b])[:n], rtol=1e-2)
+        # "auto" on the 8-device CPU test mesh = lockstep (multi-device).
+        assert batched.resolve_batch_mode("auto") == "lockstep"
+        f_a, t_a = batched.solve_batch(states, probs, sf, cfg, mode="auto")
+        for b in range(2):
+            np.testing.assert_array_equal(np.asarray(t_a[b]),
+                                          np.asarray(t_lk[b]))
+        with pytest.raises(ValueError):
+            batched.solve_batch(states, probs, sf, cfg, mode="bogus")
+
+
 class TestSharded:
     def test_mesh_construction(self):
         mesh = sharded.make_mesh(8, data=2)
