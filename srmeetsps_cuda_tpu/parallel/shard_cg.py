@@ -187,6 +187,83 @@ def cg_sharded_cgs(
               op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks)
 
 
+def cg_sharded_jacobi(
+    mesh: Mesh,
+    axis_name: str,
+    x0, b_residual, invd, op, gm, mask, masks,
+    *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
+):
+    """Jacobi-preconditioned CG over row-band shards (the ``--fast``
+    preset's scale-out form, VERDICT r4 item 4).
+
+    Identical recurrence and stopping semantics to the single-chip
+    preconditioned ``solve.cg.conjugate_gradient`` (rz-driven beta/alpha,
+    plain <r,r> stopping, the reference ``k <= max_iter`` quirk) — the
+    trajectory matches the single-chip jacobi solve up to f32 reduction
+    order. ``invd`` = 1 / diag(M), sharded like x0.
+
+    Communication per iteration: 1 two-row halo exchange of p inside the
+    matvec (2 ppermutes) + 1 psum of <p,w> + 1 fused psum of the
+    (<r,z>, <r,r>) pair — z = invd*r is local, so both post-update dots
+    share one collective.
+    """
+    tol_sq = jnp.float32(tol) ** 2
+
+    def body_fn(x0_l, b_l, invd_l, P11, P12, P13, P22, P23, P33,
+                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l):
+        Fx = _extend_fields(P11, P12, P13, P22, P23, P33,
+                            fwd_x, bwd_x, fwd_y, bwd_y, axis_name)
+
+        pdot = lambda a, b: lax.psum(jnp.vdot(a, b), axis_name)
+        mv = functools.partial(
+            matvec_band, Fx=Fx, axis_name=axis_name, sf=sf, lam=lam,
+            masks_local=masks_l, mask_local=mask_l)
+
+        def rz_rr(r, z):
+            # z is elementwise-local: ONE fused collective for both dots.
+            return lax.psum(
+                jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]), axis_name)
+
+        def cond(c):
+            x, r, z, p, rz0, rz1, rr, k = c
+            return (rr > tol_sq) & (k <= max_iter)
+
+        def body(c):
+            x, r, z, p, rz0, rz1, rr, k = c
+            k = k + 1
+            beta = jnp.where(k == 1, 0.0,
+                             rz1 / jnp.where(rz0 == 0, 1.0, rz0))
+            p = z + beta * p
+            w = mv(p)
+            pw = pdot(p, w)
+            alpha = rz1 / jnp.where(pw == 0, 1.0, pw)
+            x = x + alpha * p
+            r = r - alpha * w
+            z = invd_l * r
+            pair = rz_rr(r, z)
+            return x, r, z, p, rz1, pair[0], pair[1], k
+
+        r = b_l
+        z = invd_l * r
+        pair0 = rz_rr(r, z)
+        x, r, z, p, rz0, rz1, rr, k = lax.while_loop(
+            cond, body,
+            (x0_l, r, z, jnp.zeros_like(r), jnp.float32(0.0),
+             pair0[0], pair0[1], jnp.int32(0)))
+        return x, k, rr
+
+    spec = P(axis_name, None)
+    fn = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(spec,) * 15,
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    return fn(x0, b_residual, invd, op.P11, op.P12, op.P13, op.P22,
+              op.P23, op.P33, gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y,
+              mask, masks)
+
+
 def cg_sharded(
     mesh: Mesh,
     axis_name: str,

@@ -62,6 +62,10 @@ from ..solve.pallas_cg_vmem import (
 TX, TR, TW = 0, 1, 2
 TS, TP = 3, 4                  # CGS: s = M p and the direction p
 TX1, TR1, TP0, TP1 = 3, 4, 5, 6  # std: parity-1 x/r + ping-pong p rows
+TZ = 7                         # std+jacobi: z = invd * r (single row —
+#                                phase B writes it from in-kernel r_dst,
+#                                never reads it, so tail-band overlap
+#                                rewrites are exact duplicates)
 
 
 # ---------------------------------------------------------------------------
@@ -488,6 +492,78 @@ def _std_kernel_b(consts_ref, T_hbm, T_out, rr_ref, *,
     )
 
 
+def _std_kernel_b_jac(consts_ref, T_hbm, INVD_hbm, T_out, rz_rr_ref, *,
+                      th: int, h_b: int, n_bands: int):
+    """Jacobi phase B: x_dst = x_src + alpha p; r_dst = r_src - alpha w;
+    z = invd * r_dst; accumulates the fused (rz, rr) = (<r,z>, <r,r>)
+    pair over owned rows (ONE psum on the shard_map side drives both the
+    beta recurrence and the stopping rule — same shape as the single-chip
+    preconditioned solve.cg). consts = [alpha, p_dst, base_src,
+    base_dst]."""
+    TH = th
+    wp = T_out.shape[-1]
+    i = pl.program_id(0)
+    alpha = consts_ref[0, 0]
+    p_dst = consts_ref[0, 1].astype(jnp.int32)
+    base_src = consts_ref[0, 2].astype(jnp.int32)
+    base_dst = consts_ref[0, 3].astype(jnp.int32)
+    st = _band_start(i, TH, h_b)
+
+    @pl.when(i == 0)
+    def _():
+        rz_rr_ref[0, 0] = 0.0
+        rz_rr_ref[0, 1] = 0.0
+
+    def body(xr_buf, w_buf, p_buf, d_buf, z_buf, sems, out_sems):
+        cp_xr = pltpu.make_async_copy(
+            T_hbm.at[pl.ds(base_src, 2), pl.ds(st + RING, TH), :], xr_buf,
+            sems.at[0])
+        cp_w = pltpu.make_async_copy(
+            T_hbm.at[TW, pl.ds(st + RING, TH), :], w_buf, sems.at[1])
+        cp_p = pltpu.make_async_copy(
+            T_hbm.at[p_dst, pl.ds(st + RING, TH), :], p_buf, sems.at[2])
+        cp_d = pltpu.make_async_copy(
+            INVD_hbm.at[pl.ds(st + RING, TH), :], d_buf, sems.at[3])
+        cp_xr.start()
+        cp_w.start()
+        cp_p.start()
+        cp_d.start()
+        cp_xr.wait()
+        cp_w.wait()
+        cp_p.wait()
+        x = xr_buf[0] + alpha * p_buf[:]
+        r = xr_buf[1] - alpha * w_buf[:]
+        cp_d.wait()
+        z = d_buf[:] * r
+        xr_buf[0] = x
+        xr_buf[1] = r
+        z_buf[:] = z
+        o = pltpu.make_async_copy(
+            xr_buf,
+            T_out.at[pl.ds(base_dst, 2), pl.ds(st + RING, TH), :],
+            out_sems.at[0])
+        o_z = pltpu.make_async_copy(
+            z_buf, T_out.at[TZ, pl.ds(st + RING, TH), :], out_sems.at[1])
+        o.start()
+        o_z.start()
+        rmask = _row_own_mask(i, TH, h_b, wp)
+        rz_rr_ref[0, 0] += jnp.sum(rmask * r * z)
+        rz_rr_ref[0, 1] += jnp.sum(rmask * r * r)
+        o.wait()
+        o_z.wait()
+
+    pl.run_scoped(
+        body,
+        xr_buf=pltpu.VMEM((2, TH, wp), jnp.float32),
+        w_buf=pltpu.VMEM((TH, wp), jnp.float32),
+        p_buf=pltpu.VMEM((TH, wp), jnp.float32),
+        d_buf=pltpu.VMEM((TH, wp), jnp.float32),
+        z_buf=pltpu.VMEM((TH, wp), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((4,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -558,6 +634,28 @@ def _call_std_a(T, F, beta, p_src, p_dst, r_row, geo, lam, sf, h_b,
         interpret=_pcg.INTERPRET,
     )(consts, T, F)
     return T_new, pw
+
+
+def _call_std_b_jac(T, INVD, alpha, p_dst, base_src, base_dst, geo, h_b):
+    consts = jnp.stack([alpha, p_dst.astype(jnp.float32),
+                        base_src.astype(jnp.float32),
+                        base_dst.astype(jnp.float32)]).reshape(1, 4)
+    kernel = functools.partial(
+        _std_kernel_b_jac, th=geo.th, h_b=h_b, n_bands=geo.n_bands)
+    T_new, rz_rr = pl.pallas_call(
+        kernel,
+        grid=(geo.n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(T.shape, T.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(**_CPARAMS),
+        interpret=_pcg.INTERPRET,
+    )(consts, T, INVD)
+    return T_new, rz_rr
 
 
 def _call_std_b(T, alpha, p_dst, base_src, base_dst, geo, h_b):
@@ -660,8 +758,13 @@ def cg_sharded_pallas_cgs(
     axis_name: str,
     x0, op, gm, mask, masks, z0t,
     *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
-    stencil=None,
+    stencil=None, invd=None,
 ):
+    if invd is not None:
+        # Mirrors the single-chip gate: no preconditioned CGS recurrence
+        # exists (solve/pallas_cg_cgs.py) — route jacobi through std.
+        raise ValueError("jacobi is not supported on the CGS variant; "
+                         "use cg_sharded_pallas_std")
     """Chronopoulos-Gear sharded CG with per-shard Pallas sweep kernels.
 
     Per iteration: 1 kernel launch, 1 stacked 2-row halo exchange of
@@ -684,7 +787,8 @@ class _TailGeo(_pcg.PaddedGeometry):
 
 
 def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
-                        sf, lam, tol, max_iter, variant, stencil=None):
+                        sf, lam, tol, max_iter, variant, stencil=None,
+                        invd=None):
     h, w = x0.shape
     n_shards = mesh.shape[axis_name]
     h_b = h // n_shards
@@ -695,12 +799,16 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
         stencil = sf in (1, 2)   # auto: collapse where the fold is exact
     elif stencil and sf not in (1, 2):
         raise ValueError("stencil sweep requires sf <= 2")
+    jacobi = invd is not None
+    if jacobi and variant != "std":
+        raise ValueError("jacobi requires the std variant")
     wp = -(-w // 128) * 128
     geo = _TailGeo(h_b, w, h_b, wp, th)
     tol_sq = jnp.float32(tol) ** 2
 
     def body_fn(x0_l, P11, P12, P13, P22, P23, P33, QB1, QB2, QB3,
-                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l, z0t_l):
+                fwd_x, bwd_x, fwd_y, bwd_y, mask_l, masks_l, z0t_l,
+                *invd_args):
         from types import SimpleNamespace
 
         op_l = SimpleNamespace(P11=P11, P12=P12, P13=P13, P22=P22,
@@ -756,12 +864,62 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
 
         # ---- standard CG: prologue + two launches/iteration ----
         # 7-row layout: parity-0 (x, r) at rows 0-1, parity-1 at 3-4
-        # (ping-pong keeps tail-band overlap writes idempotent).
-        T7 = jnp.zeros((7,) + geo.shape, jnp.float32)
+        # (ping-pong keeps tail-band overlap writes idempotent); jacobi
+        # adds the single z row (TZ).
+        n_rows = 8 if jacobi else 7
+        T7 = jnp.zeros((n_rows,) + geo.shape, jnp.float32)
         T7 = T7.at[TX].set(T[TX])
         T7, gd = _call_prologue(T7, F, R0, geo, lam, sf, h_b, with_w0=False)
         T7 = _exchange_T_rows(T7, TR, 1, h_b, axis_name)
         r1_0 = psum(gd[0, 0])
+
+        if jacobi:
+            # invd is elementwise-local; its padded ring is zero, so z's
+            # ring rows need a real exchange (phase A reads z's ring for
+            # the halo-exact p update).
+            invd_p = pad_field(jnp.asarray(invd_args[0], jnp.float32), geo)
+            T7 = T7.at[TZ].set(invd_p * T7[TR])
+            T7 = _exchange_T_rows(T7, TZ, 1, h_b, axis_name)
+            r_int = T7[TR, RING:RING + h_b, :]
+            z_int = T7[TZ, RING:RING + h_b, :]
+            rz_0 = psum(jnp.vdot(r_int, z_int))
+
+            def cond_j(c):
+                T7, rz0, rz1, rr, k, par = c
+                return (rr > tol_sq) & (k <= max_iter)
+
+            def body_j(c):
+                T7, rz0, rz1, rr, k, par = c
+                k = k + 1
+                beta = jnp.where(k == 1, 0.0,
+                                 rz1 / jnp.where(rz0 == 0, 1.0, rz0))
+                base_src = 3 * par
+                base_dst = 3 * (1 - par)
+                p_src = TP0 + par
+                p_dst = TP0 + (1 - par)
+                # Phase A with the z row as its "r" operand: p = z + beta
+                # p — the PCG direction update (solve/cg.py pbody).
+                T7, pw_l = _call_std_a(T7, C, beta, p_src, p_dst,
+                                       jnp.int32(TZ), geo, lam, sf, h_b,
+                                       stencil=stencil)
+                pw = psum(pw_l[0, 0])
+                alpha = rz1 / jnp.where(pw == 0, 1.0, pw)
+                T7 = _exchange_T_rows_dyn(T7, p_dst, h_b, axis_name)
+                T7, rzrr_l = _call_std_b_jac(T7, invd_p, alpha, p_dst,
+                                             base_src, base_dst, geo, h_b)
+                pair = psum(rzrr_l[0])
+                # Fresh z ring for the next iteration's phase A (r's ring
+                # is never read on the jacobi path).
+                T7 = _exchange_T_rows(T7, TZ, 1, h_b, axis_name)
+                return (T7, rz1, pair[0], pair[1], k, 1 - par)
+
+            T7, _, _, rr, k, par = lax.while_loop(
+                cond_j, body_j,
+                (T7, jnp.float32(0.0), rz_0, r1_0, jnp.int32(0),
+                 jnp.int32(0)))
+            x_fin = lax.dynamic_index_in_dim(T7, 3 * par, axis=0,
+                                             keepdims=False)
+            return unpad_field(x_fin, geo), k, rr
 
         def cond(c):
             T7, r0, r1, k, par = c
@@ -797,15 +955,19 @@ def _run_sharded_pallas(mesh, axis_name, x0, op, gm, mask, masks, z0t, *,
         return unpad_field(x_fin, geo), k, r1
 
     spec = P(axis_name, None)
+    n_in = 18 if jacobi else 17
     fn = jax.shard_map(
         body_fn, mesh=mesh,
-        in_specs=(spec,) * 17,
+        in_specs=(spec,) * n_in,
         out_specs=(spec, P(), P()),
         check_vma=False,
     )
-    return fn(x0, op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
-              op.QB1, op.QB2, op.QB3,
-              gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks, z0t)
+    args = (x0, op.P11, op.P12, op.P13, op.P22, op.P23, op.P33,
+            op.QB1, op.QB2, op.QB3,
+            gm.fwd_x, gm.bwd_x, gm.fwd_y, gm.bwd_y, mask, masks, z0t)
+    if jacobi:
+        args = args + (invd,)
+    return fn(*args)
 
 
 def _exchange_T_rows_dyn(T, p_row, h_b, axis_name, rows: int = 2):
@@ -826,12 +988,20 @@ def cg_sharded_pallas_std(
     axis_name: str,
     x0, op, gm, mask, masks, z0t,
     *, sf: int, lam: float, tol: float = 1e-9, max_iter: int = 100,
-    stencil=None,
+    stencil=None, invd=None,
 ):
     """Standard (two-reduction) sharded CG on the new per-shard kernels:
     in-kernel fromop prologue, tail-band geometry (1080p/8 runs th=64
     instead of the old divisor-constrained th=8), and — for sf <= 2 —
-    the collapsed 9-point stencil sweep (``stencil``: None = auto)."""
+    the collapsed 9-point stencil sweep (``stencil``: None = auto).
+
+    ``invd`` = 1/diag(M) (sharded like x0) switches to Jacobi PCG
+    (VERDICT r4 item 4): phase A computes p = z + beta p (the z row fed
+    as its r operand), a jacobi phase B additionally produces
+    z = invd * r and the fused (rz, rr) pair — same recurrence and
+    stopping semantics as the single-chip preconditioned solve.cg, at
+    the same 2-collectives-per-iteration cost as plain std."""
     return _run_sharded_pallas(
         mesh, axis_name, x0, op, gm, mask, masks, z0t, sf=sf, lam=lam,
-        tol=tol, max_iter=max_iter, variant="std", stencil=stencil)
+        tol=tol, max_iter=max_iter, variant="std", stencil=stencil,
+        invd=invd)

@@ -162,12 +162,27 @@ def estimate_depth_sharded(prob, mom, rho, dz, z, sf: int,
     h, w = z.shape
     n = mesh.shape[axis]
     if cfg.jacobi_preconditioner:
-        # No preconditioned sharded CG exists; running plain CG instead
-        # would be a silently different solver trajectory (same rule as
-        # estimate_depth's Pallas gate).
-        raise ValueError(
-            "jacobi_preconditioner is not supported on the sharded path; "
-            "drop --jacobi or run single-device")
+        # Jacobi-PCG sharded path (the --fast preset's scale-out form):
+        # same recurrence as the single-chip preconditioned solve.cg.
+        # With Pallas: per-shard std kernel pair with the z row + jacobi
+        # phase B (shard_pallas). Otherwise: the jnp shard_map halo loop.
+        invd = 1.0 / srps.depth_diag(op, prob, sf, lam)
+        if (cfg.use_pallas
+                and shard_pallas.shard_pallas_supported(h, w, sf, n)):
+            x, k, _ = shard_pallas.cg_sharded_pallas_std(
+                mesh, axis, z, op, prob.gm, prob.mask, prob.masks,
+                prob.z0t, sf=sf, lam=lam, tol=cfg.cg_tol,
+                max_iter=cfg.cg_max_iter, invd=invd)
+        else:
+            rhs = srps.depth_rhs(op, prob, sf, lam)
+            b_res = rhs - srps.depth_matvec(z, op, prob, sf, lam)
+            x, k, _ = shard_cg.cg_sharded_jacobi(
+                mesh, axis, z, b_res, invd, op, prob.gm, prob.mask,
+                prob.masks, sf=sf, lam=lam, tol=cfg.cg_tol,
+                max_iter=cfg.cg_max_iter)
+        z_new = x * prob.mask
+        energy = srps.depth_energy(z_new, op, prob, sf, lam)
+        return z_new, energy, k
     use_pallas = (cfg.use_pallas
                   and shard_pallas.shard_pallas_supported(h, w, sf, n))
     if use_pallas:
@@ -315,6 +330,17 @@ def dryrun(n_devices: int, batch: Optional[int] = None) -> None:
     jax.block_until_ready(st2_out)
     assert np.isfinite(float(st2_out.energy)), "non-finite cgs-sharded energy"
 
+    # Jacobi-preconditioned sharded CG (the --fast preset's scale-out
+    # form, VERDICT r4 item 4): one fused (rz, rr) psum + one <p,w> psum
+    # per iteration.
+    cfg_j = SolverConfig(max_iterations=2, jacobi_preconditioner=True,
+                         cg_max_iter=10)
+    stj_out, _ = jax.jit(
+        partial(solve_fused_sharded, sf=sf, cfg=cfg_j, mesh=mesh1))(st1, pb1)
+    jax.block_until_ready(stj_out)
+    assert np.isfinite(float(stj_out.energy)), (
+        "non-finite jacobi-sharded energy")
+
     # Per-shard Pallas kernels (gen-2: prologue + CGS sweep / std pair) in
     # interpret mode — proves the multi-chip sharding of the kernelized
     # paths traces, compiles and executes on the mesh.
@@ -331,5 +357,13 @@ def dryrun(n_devices: int, batch: Optional[int] = None) -> None:
             jax.block_until_ready(stp)
             assert np.isfinite(float(stp.energy)), (
                 f"non-finite pallas-sharded energy ({variant})")
+        # Per-shard Pallas jacobi (std kernel pair + z row).
+        cfg_pj = SolverConfig(max_iterations=1, cg_max_iter=5,
+                              use_pallas=True, jacobi_preconditioner=True)
+        stpj, _ = jax.jit(partial(
+            solve_fused_sharded, sf=sf, cfg=cfg_pj, mesh=mesh1))(st1, pb1)
+        jax.block_until_ready(stpj)
+        assert np.isfinite(float(stpj.energy)), (
+            "non-finite pallas-jacobi-sharded energy")
     finally:
         _pcg.INTERPRET = old_interp

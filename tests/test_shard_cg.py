@@ -93,6 +93,97 @@ class TestShardCG:
         assert np.sqrt(np.mean(d**2)) / rms < 5e-2
 
 
+class TestShardJacobi:
+    """Jacobi-preconditioned sharded CG (VERDICT r4 item 4): the --fast
+    preset's scale-out form must follow the single-chip preconditioned
+    solve.cg trajectory."""
+
+    def test_jacobi_short_horizon_matches_single_device(self, rng):
+        """5 PCG iterations: same recurrence as solve.cg's preconditioned
+        variant, so before f32 drift compounds the iterates must agree
+        tightly."""
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        import functools
+
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        invd = 1.0 / srps.depth_diag(op, prob, sf, 1.0)
+        ref = conjugate_gradient(mv, b_res, st.z, tol=1e-30, max_iter=5,
+                                 precond=lambda r: invd * r)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        x, k, rr = shard_cg.cg_sharded_jacobi(
+            mesh, "x", st.z, b_res, invd, op, prob.gm, prob.mask,
+            prob.masks, sf=sf, lam=1.0, tol=1e-30, max_iter=5)
+        assert int(k) == int(ref.iterations)
+        d = np.asarray(x) - np.asarray(ref.x)
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        assert np.sqrt(np.mean(d ** 2)) / rms < 1e-4
+
+    def test_jacobi_pallas_matches_single_chip(self, rng, monkeypatch):
+        """Per-shard Pallas jacobi (std kernel pair + z row, interpret
+        mode) vs the single-chip preconditioned solve.cg, direct AND
+        stencil sweeps."""
+        import functools
+
+        from srmeetsps_cuda_tpu.parallel import shard_pallas
+        from srmeetsps_cuda_tpu.solve import pallas_cg as _pcg
+
+        monkeypatch.setattr(_pcg, "INTERPRET", True)
+        h, w, sf = 64, 32, 2
+        prob, st, op = _setup(rng, h, w, sf)
+        mv = functools.partial(srps.depth_matvec, op=op, prob=prob,
+                               sf=sf, lam=1.0)
+        rhs = srps.depth_rhs(op, prob, sf, 1.0)
+        b_res = rhs - mv(st.z)
+        invd = 1.0 / srps.depth_diag(op, prob, sf, 1.0)
+        ref = conjugate_gradient(mv, b_res, st.z, tol=1e-30, max_iter=5,
+                                 precond=lambda r: invd * r)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        rms = np.sqrt(np.mean(np.asarray(ref.x) ** 2))
+        for stencil in (False, True):
+            x, k, _ = shard_pallas.cg_sharded_pallas_std(
+                mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+                prob.z0t, sf=sf, lam=1.0, tol=1e-30, max_iter=5,
+                invd=invd, stencil=stencil)
+            assert int(k) == int(ref.iterations)
+            d = np.asarray(x) - np.asarray(ref.x)
+            assert np.sqrt(np.mean(d ** 2)) / rms < 1e-4, stencil
+        # CGS has no preconditioned recurrence (single-chip gate mirrored).
+        with pytest.raises(ValueError):
+            shard_pallas.cg_sharded_pallas_cgs(
+                mesh, "x", st.z, op, prob.gm, prob.mask, prob.masks,
+                prob.z0t, sf=sf, lam=1.0, invd=invd)
+
+    def test_jacobi_fused_solve_matches_single_chip(self, rng):
+        """Full fused sharded solve with the --fast preset config vs the
+        single-chip jacobi solve: same iteration count, energies tracking
+        to f32 reduction-order tolerance."""
+        from functools import partial
+
+        from srmeetsps_cuda_tpu.parallel import sharded
+
+        h, w, sf = 64, 32, 2
+        prob, st, _ = _setup(rng, h, w, sf)
+        cfg = SolverConfig(max_iterations=3, jacobi_preconditioner=True,
+                           cg_max_iter=30)
+        final_s, trace_s = jax.jit(
+            srps.solve_fused, static_argnums=(2, 3))(st, prob, sf, cfg)
+        mesh = sharded.make_mesh_1d(8)
+        pb1 = sharded.shard_pytree_rows(prob, mesh)
+        st1 = sharded.shard_pytree_rows(st, mesh)
+        out, trace = jax.jit(partial(
+            sharded.solve_fused_sharded, sf=sf, cfg=cfg, mesh=mesh))(
+            st1, pb1)
+        assert int(out.iteration) == int(final_s.iteration)
+        n_it = int(final_s.iteration)
+        np.testing.assert_allclose(np.asarray(trace)[:n_it],
+                                   np.asarray(trace_s)[:n_it], rtol=1e-3)
+
+
 class TestShardCGSingleReduction:
     def test_cgs_matches_standard(self, rng):
         """Chronopoulos-Gear sharded CG (one fused psum pair per iteration)
