@@ -89,9 +89,20 @@ def _load_mitten():
 
 
 def batched_metrics(B: int = 4, image_dtype: str = "float32", data=None):
-    """BASELINE config 4: batched multi-object throughput (lane-batched
-    Pallas CG). Subcommand `python bench.py batched [B]`; bf16 images
-    (halved image-pass HBM traffic) via `python bench.py batched-bf16`."""
+    """BASELINE config 4: batched multi-object throughput. Measures BOTH
+    execution forms with the sustained (async back-to-back, force-last)
+    methodology so they are comparable to `sustained_solves_per_sec`:
+
+    * streaming (the single-chip default route, parallel/batched.py::
+      solve_batch "auto") — B async dispatches of the resident fused
+      solve per batch; matches single-stream sustained by construction.
+    * lockstep — the lane-batched Pallas launch; lanes run sequentially
+      over the kernel grid on one TensorCore, so its vmapped-glue
+      overhead makes it SLOWER here (r4: 28.9 vs 41.2 solves/s). It is
+      kept for single-dispatch latency and the multi-chip DP form.
+
+    Subcommand `python bench.py batched [B]`; bf16 images (halved
+    image-pass HBM traffic) via `python bench.py batched-bf16`."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -103,22 +114,46 @@ def batched_metrics(B: int = 4, image_dtype: str = "float32", data=None):
         data, _ = _load_mitten()
     cfg = SolverConfig(use_pallas=True, image_dtype=image_dtype)
     prob, st = prepare(data, cfg)
-    prob_b = batched.stack_problems([prob] * B)
-    st_b = batched.stack_states([st] * B)
-    final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
-    float(np.asarray(jnp.sum(final.z)))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        final, trace = batched.solve_batched(st_b, prob_b, int(data.sf), cfg)
-        float(np.asarray(jnp.sum(final.z)))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    probs_l, states_l = [prob] * B, [st] * B
+    prob_b = batched.stack_problems(probs_l)
+    st_b = batched.stack_states(states_l)
+    sf = int(data.sf)
+
+    def sustained(run, force, rounds=2, reps=3):
+        """reps x (rounds back-to-back batch solves, force only ONE final
+        scalar — the device runs programs in dispatch order, so the last
+        lane's completion implies the rest) -> best seconds per batch."""
+        force(run())  # compile + warm
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                f = run()
+            force(f)
+            best = min(best, (time.perf_counter() - t0) / rounds)
+        return best
+
+    def run_stream():
+        finals, _ = batched.solve_batched_streaming(states_l, probs_l, sf,
+                                                    cfg)
+        return finals[-1]
+
+    def run_lockstep():
+        final, _ = batched.solve_batched(st_b, prob_b, sf, cfg)
+        return final
+
+    force_e = lambda f: float(np.asarray(f.energy))
+    force_z = lambda f: float(np.asarray(jnp.sum(f.z)))
+    dt = sustained(run_stream, force_e)
+    dt_lk = sustained(run_lockstep, force_z)
+    finals, _ = batched.solve_batched_streaming(states_l, probs_l, sf, cfg)
+    iters = [int(np.asarray(f.iteration)) for f in finals]
     sfx = "_bf16" if image_dtype == "bfloat16" else ""
     return {
         f"batched{B}{sfx}_solves_per_sec": round(B / dt, 4),
         f"batched{B}{sfx}_seconds_per_batch": round(dt, 4),
-        f"batched{B}{sfx}_iterations": np.asarray(final.iteration).tolist(),
+        f"batched{B}{sfx}_iterations": iters,
+        f"batched{B}{sfx}_lockstep_solves_per_sec": round(B / dt_lk, 4),
     }
 
 
@@ -277,14 +312,32 @@ def metrics_1080p():
     hardware-mesh test in tests/test_tpu_hw.py; no multi-chip hardware
     here)."""
     from srmeetsps_cuda_tpu.config import SolverConfig
+    from srmeetsps_cuda_tpu.runtime.solver import prepare
 
     data = synthetic_dataset(h=1088, w=1920, sf=2, n=12)
-    dt, final = _fused_best(data, SolverConfig(use_pallas=True))
-    return {
+    cfg = SolverConfig(use_pallas=True)
+    dt, final = _fused_best(data, cfg)
+    out = {
         "1080p_solves_per_sec": round(1.0 / dt, 4),
         "1080p_seconds_per_solve": round(dt, 4),
         "1080p_iterations": int(final.iteration),
     }
+    # Per-iteration device metrics (VERDICT r4 item 8): the wall number
+    # above comes off a 2-iteration synthetic fixture, so cross-round
+    # 1080p progress needs the dispatch-free per-iteration costs too.
+    try:
+        import numpy as np
+
+        from srmeetsps_cuda_tpu.solve import pallas_cg as _pcg
+
+        prob, state0 = prepare(data, cfg)
+        h, w = np.asarray(prob.mask).shape
+        if _pcg.supported(h, w, int(data.sf), pipelined=True):
+            out.update(device_metrics(prob, state0, int(data.sf), cfg,
+                                      prefix="1080p_"))
+    except Exception as e:  # pragma: no cover - defensive
+        out["1080p_device_metrics_error"] = str(e)[:200]
+    return out
 
 
 def bench_1080p():
@@ -434,14 +487,22 @@ def accuracy_metrics():
     }
 
 
-def device_metrics(prob, state, sf, cfg):
+def device_metrics(prob, state, sf, cfg, prefix=""):
     """Dispatch-free device-side metrics via chained-call differencing.
 
     The axon tunnel adds 100-300 ms of nondeterministic per-call overhead,
     so wall-clock e2e numbers carry that noise; marginal times between two
     chain lengths cancel it. Returns ms/outer-iteration, ms/CG-iteration,
-    and the effective HBM GB/s of the pipelined CG kernel against its
-    bytes model."""
+    the effective HBM GB/s of the pipelined CG kernel against its bytes
+    model, and the PCG matvec GFLOP/s (BASELINE.json's named north-star:
+    the SpMV-equivalent 2 flops/nnz of the 9-point collapsed stencil —
+    nnz = 9 per grid pixel, +1 resident ktw plane term at sf=4 — over the
+    measured production per-CG-iteration time).
+
+    All big device arrays are passed as jit ARGUMENTS, never closures:
+    closure constants are embedded in the serialized module, distort
+    while-loop costs, and can blow the axon remote-compile HTTP body
+    limit at 1080p-class sizes (CLAUDE.md round-3 gotchas)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -513,24 +574,25 @@ def device_metrics(prob, state, sf, cfg):
         # ~15 us/iter a single 100-vs-25 cap difference is ~1 ms — smaller
         # than the tunnel's dispatch jitter, which once produced a
         # NEGATIVE marginal here. The chain multiplies the signal 8x.
-        def cg_vmem_chain(n_calls, z, mi):
+        def cg_vmem_chain(n_calls, z, op, gm, ktw, z0t, mi):
             def body(i, carry):
                 zc, ka = carry
                 x, kk, r1 = _pvm.cg_pallas_vmem_fromop(
-                    zc, op, prob.gm, ktw, prob.z0t, sf=sf, lam=cfg.lam,
+                    zc, op, gm, ktw, z0t, sf=sf, lam=cfg.lam,
                     tol=1e-30, max_iter=mi)
                 return (z * (1.0 + 1e-38 * r1), ka + kk)
             return lax.fori_loop(0, n_calls, body, (z, jnp.int32(0)))
 
-        f_chain = jax.jit(cg_vmem_chain, static_argnums=(0, 2))
+        f_chain = jax.jit(cg_vmem_chain, static_argnums=(0, 6))
 
         def cg_vmem_call(mi, n_calls=8):
-            z, k = f_chain(n_calls, st.z, mi)
+            z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t, mi)
             np.asarray(z)  # compile + warm
             best = 1e9
             for _ in range(5):
                 t0 = time.perf_counter()
-                z, k = f_chain(n_calls, st.z, mi)
+                z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t,
+                               mi)
                 np.asarray(jnp.sum(z))
                 best = min(best, time.perf_counter() - t0)
             return best, int(np.asarray(k))
@@ -553,15 +615,23 @@ def device_metrics(prob, state, sf, cfg):
         * geo.shape[1] * 4
     gbps = bytes_iter / s_per_iter / 1e9
     out = {
-        "ms_per_outer_iter": round(ms_outer, 3),
-        "ms_per_cg_iter_streaming": round(s_per_iter * 1e3, 4),
-        "cg_bytes_per_iter_mb": round(bytes_iter / 1e6, 1),
-        "gbps": round(gbps, 1),
+        f"{prefix}ms_per_outer_iter": round(ms_outer, 3),
+        f"{prefix}ms_per_cg_iter_streaming": round(s_per_iter * 1e3, 4),
+        f"{prefix}cg_bytes_per_iter_mb": round(bytes_iter / 1e6, 1),
+        f"{prefix}gbps": round(gbps, 1),
     }
     if s_per_iter_prod is not None:
-        out["ms_per_cg_iter"] = round(s_per_iter_prod * 1e3, 4)
+        out[f"{prefix}ms_per_cg_iter"] = round(s_per_iter_prod * 1e3, 4)
     else:
-        out["ms_per_cg_iter"] = out["ms_per_cg_iter_streaming"]
+        out[f"{prefix}ms_per_cg_iter"] = out[
+            f"{prefix}ms_per_cg_iter_streaming"]
+    # PCG matvec GFLOP/s against the production per-iteration time: the
+    # matvec is the 9-point spatially-varying stencil (9 mul + 9 add per
+    # grid pixel = 2 flops/nnz SpMV-equivalent); sf=4 applies KT^T KT as
+    # an extra resident-ktw tilesum (~4 flops/pixel more).
+    matvec_flops = (18 + (4 if sf == 4 else 0)) * h * w
+    s_prod = (s_per_iter_prod if s_per_iter_prod is not None else s_per_iter)
+    out[f"{prefix}pcg_matvec_gflops"] = round(matvec_flops / s_prod / 1e9, 1)
     return out
 
 
@@ -613,15 +683,14 @@ def main():
     dt_sus, _ = _sustained(data, cfg)
     _note(f"sustained timed ({dt_sus:.3f}s/solve)")
 
-    # Accuracy-matched fast preset (--fast: Jacobi CG @ cap 30): measured
-    # with the SAME sustained methodology as the headline (VERDICT r3
-    # weak 3 — a dispatch-laden best-of-3 buried the ~10 ms device saving
-    # under ~20 ms tunnel jitter; sustained rates expose the device-time
-    # ratio the 0.77x claim is about, tools/profile_fast.py).
+    # Fast preset (--fast, r5 re-tune: plain CG @ cap 40 — the jacobi@30
+    # preset's win evaporated once kernel_energy became the default;
+    # tools/profile_fast.py grid: plain40 = 0.837x device time, final
+    # energy +0.12%, fixture ground-truth accuracy slightly BETTER).
+    # Measured with the SAME sustained methodology as the headline.
     fast = {}
     try:
-        cfg_f = SolverConfig(use_pallas=True, jacobi_preconditioner=True,
-                             cg_max_iter=30)
+        cfg_f = SolverConfig(use_pallas=True, cg_max_iter=40)
         dt_f, fin_f = _sustained(data, cfg_f)
         _note(f"fast preset timed ({dt_f:.3f}s/solve)")
         fast = {
@@ -643,10 +712,18 @@ def main():
         cfg_b = SolverConfig(use_pallas=True, image_dtype="bfloat16")
         dt_b, fin_b = _sustained(data, cfg_b)
         _note(f"bf16 preset timed ({dt_b:.3f}s/solve)")
+        e_rel = abs(float(fin_b.energy) - float(final.energy)) / abs(
+            float(final.energy))
         bf16 = {
             "bf16_sustained_solves_per_sec": round(1.0 / dt_b, 4),
             "bf16_device_time_ratio": round(dt_b / dt_sus, 4),
             "bf16_final_energy": float(fin_b.energy),
+            # Explicit drift gate (VERDICT r4 item 6): the preset's final
+            # energy may not silently walk away from the f32 trajectory.
+            # r4 measured +3.9% (s quantised in J); r5's f32-s J pass
+            # should sit well inside 5%.
+            "bf16_energy_delta_rel": round(e_rel, 5),
+            "bf16_energy_ok": bool(e_rel < 0.05),
         }
     except Exception as e:  # pragma: no cover - defensive
         bf16 = {"bf16_error": str(e)[:200]}

@@ -110,8 +110,8 @@ def test_cli_images_dataset(rng, tmp_path):
 
 
 def test_cli_fast_preset(rng, tmp_path):
-    """--fast = Jacobi CG @ cap 30; the preset must not override explicit
-    --cg-max-iter and must produce a sane trajectory."""
+    """--fast = plain CG @ cap 40 (r5 re-tune); the preset must not
+    override explicit --cg-max-iter and must produce a sane trajectory."""
     I, mask, K, z0, sf = _synth_arrays(rng)
     mat = str(tmp_path / "ds.mat")
     _write_mat(mat, I, mask, K, z0, sf)
@@ -122,7 +122,7 @@ def test_cli_fast_preset(rng, tmp_path):
          "--metrics-jsonl", os.path.join(out, "metrics.jsonl")], out)
     assert es[-1] <= es[0] * 1.5
 
-    # Explicit cap wins over the preset's 30 (observable via cg_iterations
+    # Explicit cap wins over the preset's 40 (observable via cg_iterations
     # in the metrics: cap 3 admits at most 4 iterations, reference quirk).
     out2 = str(tmp_path / "out2")
     cli.main(["--dstype", "matlab", "--dsloc", mat, "--max-iterations", "1",
