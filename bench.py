@@ -334,7 +334,7 @@ def metrics_1080p():
         h, w = np.asarray(prob.mask).shape
         if _pcg.supported(h, w, int(data.sf), pipelined=True):
             out.update(device_metrics(prob, state0, int(data.sf), cfg,
-                                      prefix="1080p_"))
+                                      prefix="1080p_", light=True))
     except Exception as e:  # pragma: no cover - defensive
         out["1080p_device_metrics_error"] = str(e)[:200]
     return out
@@ -487,7 +487,7 @@ def accuracy_metrics():
     }
 
 
-def device_metrics(prob, state, sf, cfg, prefix=""):
+def device_metrics(prob, state, sf, cfg, prefix="", light=False):
     """Dispatch-free device-side metrics via chained-call differencing.
 
     The axon tunnel adds 100-300 ms of nondeterministic per-call overhead,
@@ -502,7 +502,13 @@ def device_metrics(prob, state, sf, cfg, prefix=""):
     All big device arrays are passed as jit ARGUMENTS, never closures:
     closure constants are embedded in the serialized module, distort
     while-loop costs, and can blow the axon remote-compile HTTP body
-    limit at 1080p-class sizes (CLAUDE.md round-3 gotchas)."""
+    limit at 1080p-class sizes (CLAUDE.md round-3 gotchas).
+
+    ``light=True`` (the 1080p tier): shorter chains and NO streaming-
+    kernel numbers — the full protocol's six 1080p-sized programs
+    measured >30 min of cold remote compiles and timed the whole bench
+    out (r5); light keeps ms_per_outer_iter, the production
+    ms_per_cg_iter, and the matvec GFLOP/s at ~1/3 the compile count."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -541,28 +547,35 @@ def device_metrics(prob, state, sf, cfg, prefix=""):
 
     f_outer = jax.jit(outer_loop, static_argnums=0)
     carry = (st.z, st.rho, st.s)
-    ms_outer = marginal(lambda n: f_outer(n, carry, prob)) * 1e3
+    if light:
+        ms_outer = marginal(lambda n: f_outer(n, carry, prob),
+                            n_lo=2, n_hi=8, reps=3) * 1e3
+    else:
+        ms_outer = marginal(lambda n: f_outer(n, carry, prob)) * 1e3
 
     # ms per CG iteration: one kernel call at two iteration caps.
     mom = srps.s_moments(prob, st.s)
     op = srps.build_depth_operator(prob, mom, st.rho, st.dz, cfg.lam)
     ktw = make_ktw(prob.mask, prob.masks, sf)
-    rhs = srps.depth_rhs(op, prob, sf, cfg.lam)
-    b_res = rhs - srps.depth_matvec(st.z, op, prob, sf, cfg.lam)
+    s_per_iter = None
+    if not light:
+        rhs = srps.depth_rhs(op, prob, sf, cfg.lam)
+        b_res = rhs - srps.depth_matvec(st.z, op, prob, sf, cfg.lam)
 
-    def cg_call(mi):
-        f = jax.jit(functools.partial(
-            cg_pallas_pipelined, sf=sf, lam=cfg.lam, tol=1e-30, max_iter=mi))
-        np.asarray(f(st.z, b_res, op, prob.gm, ktw)[0])
-        best = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            x, k, r1 = f(st.z, b_res, op, prob.gm, ktw)
-            np.asarray(x.sum())
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def cg_call(mi):
+            f = jax.jit(functools.partial(
+                cg_pallas_pipelined, sf=sf, lam=cfg.lam, tol=1e-30,
+                max_iter=mi))
+            np.asarray(f(st.z, b_res, op, prob.gm, ktw)[0])
+            best = 1e9
+            for _ in range(5):
+                t0 = time.perf_counter()
+                x, k, r1 = f(st.z, b_res, op, prob.gm, ktw)
+                np.asarray(x.sum())
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    s_per_iter = (cg_call(400) - cg_call(100)) / 300
+        s_per_iter = (cg_call(400) - cg_call(100)) / 300
 
     # Production CG route (VMEM-resident when the grid fits): the number
     # the fused solve actually pays per CG iteration.
@@ -585,11 +598,12 @@ def device_metrics(prob, state, sf, cfg, prefix=""):
 
         f_chain = jax.jit(cg_vmem_chain, static_argnums=(0, 6))
 
-        def cg_vmem_call(mi, n_calls=8):
+        def cg_vmem_call(mi, n_calls=(4 if light else 8), reps=(3 if light
+                                                                else 5)):
             z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t, mi)
             np.asarray(z)  # compile + warm
             best = 1e9
-            for _ in range(5):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t,
                                mi)
@@ -600,29 +614,30 @@ def device_metrics(prob, state, sf, cfg, prefix=""):
         # caps 100/25 (the production regime): at cap 400 the f32 residual
         # can underflow to exact 0 late in the solve and the kernel's
         # predicated skip would understate the per-iteration cost
-        t_hi, k_hi = cg_vmem_call(100)
-        t_lo, k_lo = cg_vmem_call(25)
+        t_hi, k_hi = cg_vmem_call(100 if not light else 50)
+        t_lo, k_lo = cg_vmem_call(25 if not light else 15)
         s_per_iter_prod = (t_hi - t_lo) / (k_hi - k_lo)
 
     # Bytes model of one pipelined CG iteration (see pallas_cg_pipe._kernel):
     # phase 0 reads (r, p, 8 packed F rows) x TB-row bands and writes
     # (p, w) x TH; phase 1 reads (x, r, w, p) and writes (x, r) x TH.
     h, w = st.z.shape
-    th = pick_th(h, w, pipelined=True)
-    geo = geometry(h, w, th)
-    tb = geo.th + 2 * _pcg.RING
-    bytes_iter = (10 * tb + 2 * geo.th + 6 * geo.th) * geo.n_bands \
-        * geo.shape[1] * 4
-    gbps = bytes_iter / s_per_iter / 1e9
-    out = {
-        f"{prefix}ms_per_outer_iter": round(ms_outer, 3),
-        f"{prefix}ms_per_cg_iter_streaming": round(s_per_iter * 1e3, 4),
-        f"{prefix}cg_bytes_per_iter_mb": round(bytes_iter / 1e6, 1),
-        f"{prefix}gbps": round(gbps, 1),
-    }
+    out = {f"{prefix}ms_per_outer_iter": round(ms_outer, 3)}
+    if s_per_iter is not None:
+        th = pick_th(h, w, pipelined=True)
+        geo = geometry(h, w, th)
+        tb = geo.th + 2 * _pcg.RING
+        bytes_iter = (10 * tb + 2 * geo.th + 6 * geo.th) * geo.n_bands \
+            * geo.shape[1] * 4
+        gbps = bytes_iter / s_per_iter / 1e9
+        out.update({
+            f"{prefix}ms_per_cg_iter_streaming": round(s_per_iter * 1e3, 4),
+            f"{prefix}cg_bytes_per_iter_mb": round(bytes_iter / 1e6, 1),
+            f"{prefix}gbps": round(gbps, 1),
+        })
     if s_per_iter_prod is not None:
         out[f"{prefix}ms_per_cg_iter"] = round(s_per_iter_prod * 1e3, 4)
-    else:
+    elif s_per_iter is not None:
         out[f"{prefix}ms_per_cg_iter"] = out[
             f"{prefix}ms_per_cg_iter_streaming"]
     # PCG matvec GFLOP/s against the production per-iteration time: the
@@ -631,7 +646,9 @@ def device_metrics(prob, state, sf, cfg, prefix=""):
     # an extra resident-ktw tilesum (~4 flops/pixel more).
     matvec_flops = (18 + (4 if sf == 4 else 0)) * h * w
     s_prod = (s_per_iter_prod if s_per_iter_prod is not None else s_per_iter)
-    out[f"{prefix}pcg_matvec_gflops"] = round(matvec_flops / s_prod / 1e9, 1)
+    if s_prod is not None:
+        out[f"{prefix}pcg_matvec_gflops"] = round(
+            matvec_flops / s_prod / 1e9, 1)
     return out
 
 

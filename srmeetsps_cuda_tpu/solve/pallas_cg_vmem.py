@@ -144,8 +144,11 @@ def vmem_mode(h: int, w: int, sf: int, jacobi: bool = False,
     temps_st = 30 * tb * wp * 4
     # sf=4 keeps KT^T KT out of the collapse (7x7 support) and instead
     # holds the ktw plane resident for a tilesum term in the sweep.
+    # jacobi at sf <= 2 runs as plain CG on the symmetrically scaled
+    # system (invd folds into the C planes at prologue time — no
+    # resident invd plane); only sf=4 keeps the in-sweep PCG form.
     st_planes = (5 + N_STENCIL + (1 if sf == 4 else 0)
-                 + (1 if jacobi else 0))
+                 + (1 if (jacobi and sf == 4) else 0))
     if st_planes * plane + temps_st <= VMEM_BUDGET:
         return "full_stencil"
     if (5 + _n_fields(jacobi, rows=True)) * plane + temps <= VMEM_BUDGET:
@@ -362,10 +365,29 @@ def _stencil_w(p, c, th: int):
             + c[7] * _shift(pw, 1, 0)[sl] + c[8] * _shift(pw, -1, 0)[sl])
 
 
+def _scale_c_band(c_band, s, th: int):
+    """Symmetric diagonal scaling of one 9-plane stencil band:
+    ``C'_d[i] = s[i] * C_d[i] * s[i+d]`` with ``s = sqrt(invd) =
+    D^{-1/2}`` on the ring-extended band. Cross-boundary offsets are
+    safe: C_d is built exactly 0 wherever the neighbour read would be
+    invalid, and s is 0 only in the zero-padded frame where C is 0 too."""
+    R = RING
+    sl = slice(R, R + th)
+    se = _shift(s, 0, 1)
+    sw = _shift(s, 0, -1)
+    mates = [s, se, sw, _shift(s, 1, 0), _shift(s, -1, 0),
+             _shift(se, 1, 0), _shift(se, -1, 0),
+             _shift(sw, 1, 0), _shift(sw, -1, 0)]
+    s_in = s[sl]
+    return jnp.stack([s_in * c_band[d] * mates[d][sl]
+                      for d in range(N_STENCIL)])
+
+
 def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
                          X_out, iters_ref, r1_ref, e_ref,
                          *refs, lam: float, sf: int, n_bands: int, th: int,
-                         jacobi: bool, track_e: bool = False):
+                         jacobi: bool, track_e: bool = False,
+                         scaled: bool = False):
     """Stencil-resident CG: same grid/step structure, bookkeeping, and
     stopping semantics as :func:`_kernel_vmem`, but the iteration sweeps
     apply ``M`` through 9 resident collapsed coefficient planes that the
@@ -375,7 +397,26 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
     to 9 multiply-adds + 8 rolls. For sf == 4 the KT^T KT term does not
     fold into 9 planes (7x7 tile support); it is applied per sweep as
     ``ktw * tilesum(p)`` against one extra resident ktw plane — still
-    far cheaper than the direct kernel's full mask-gated chain."""
+    far cheaper than the direct kernel's full mask-gated chain.
+
+    ``scaled=True`` (requires ``jacobi=False``, sf <= 2): Jacobi PCG as
+    plain CG on the symmetrically scaled system ``M' = S M S`` with
+    ``S = diag(sqrt(invd))`` — algebraically the same alpha/beta/iterate
+    sequence as PCG with the diagonal preconditioner, but the scaling
+    folds into the 9 resident planes at prologue time (``C'_d[i] =
+    s_i C_d[i] s_{i+d}``), so EVERY iteration sweep is the plain
+    9-FMA sweep: no resident invd plane, no per-iteration z = invd*r
+    multiply, no second (rz) reduction — the round-5 fix for the
+    measured ~2.4x jacobi-sweep cost. The kernel iterates the scaled
+    CORRECTION ``y`` from 0 (r0' = s*(rhs - M x0)); the epilogue emits
+    ``x = x0 + s*y`` band-by-band. Stopping uses the scaled residual
+    ``<r', r'> = <r, invd r>`` (= PCG's rz) rather than PCG's plain
+    <r,r> — at the reference tol (1e-9 squared, unreachable in f32)
+    both run to the cap identically. The energy identity carries over
+    unchanged: the quadratic is invariant under the substitution and
+    ``E -= alpha * <p', r'>`` = ``E -= alpha * r1``."""
+    assert not (scaled and jacobi)
+    assert not scaled or sf in (1, 2)
     refs = list(refs)
     xv, rv, p0v, p1v, wv, cv = refs[:6]
     i_r = 6
@@ -390,6 +431,7 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
     scal, sems = refs[i_r], refs[i_r + 1]
     TH = th
     TB = TH + 2 * RING
+    NFR = 12 if scaled else 11  # scaled streams the invd row too
     lane = pl.program_id(0)
     it = pl.program_id(1)
     n_it = pl.num_programs(1)
@@ -430,7 +472,7 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
         def body(fb, q_buf, fsem, qsem, zu_buf=None, zsem=None):
             def f_copy(b, cur):
                 return pltpu.make_async_copy(
-                    F_hbm.at[lane, pl.ds(0, 11), pl.ds(b * TH, TB), :],
+                    F_hbm.at[lane, pl.ds(0, NFR), pl.ds(b * TH, TB), :],
                     fb.at[cur], fsem.at[cur])
 
             rr = jnp.float32(0.0)
@@ -452,9 +494,15 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
                 f = fb.at[cur]
                 c_band = _build_c_band(f, lam, sf, TH)
                 sl_i = slice(b * TH + RING, b * TH + RING + TH)
-                cv[:, sl_i, :] = c_band
                 x = xv[b * TH:b * TH + TB, :]
+                # w = M x0 with the UNSCALED stencil (x0 is in original
+                # variables); the resident C then stores the scaled form.
                 w = _stencil_w(x, c_band, TH)
+                if scaled:
+                    s_band = jnp.sqrt(f[IVDR])
+                    cv[:, sl_i, :] = _scale_c_band(c_band, s_band, TH)
+                else:
+                    cv[:, sl_i, :] = c_band
                 if sf == 4:
                     xin = x[RING:RING + TH, :]
                     w = w + f[KTWR, RING:RING + TH, :] * _tilesum(xin, sf)
@@ -474,6 +522,8 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
                 rhs = q[3, RING:RING + TH, :] + (
                     gq if lam == 1.0 else lam * gq)
                 r = rhs - w
+                if scaled:
+                    r = s_band[RING:RING + TH, :] * r
                 rv[sl_i, :] = r
                 rr = rr + jnp.sum(r * r)
                 if jacobi:
@@ -493,7 +543,7 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
 
         pl.run_scoped(
             body,
-            fb=pltpu.VMEM((2, 11, TB, X_hbm.shape[-1]), jnp.float32),
+            fb=pltpu.VMEM((2, NFR, TB, X_hbm.shape[-1]), jnp.float32),
             q_buf=pltpu.VMEM((4, TB, X_hbm.shape[-1]), jnp.float32),
             fsem=pltpu.SemaphoreType.DMA((2,)),
             qsem=pltpu.SemaphoreType.DMA(()),
@@ -501,6 +551,10 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
                                       jnp.float32),
                     zsem=pltpu.SemaphoreType.DMA(())) if track_e else {}),
         )
+        if scaled:
+            # Iterate the scaled CORRECTION from 0; x0 stays in X_hbm
+            # for the epilogue's x = x0 + s*y reconstruction.
+            xv[...] = jnp.zeros_like(xv)
 
     # ---------------- iteration steps --------------------------------
     is_iter = (it >= 1) & (it < n_it - 1)
@@ -586,9 +640,52 @@ def _kernel_vmem_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
     @pl.when(it == n_it - 1)
     def _():
         e_ref[lane, 0] = scal[0, S_E] if track_e else jnp.float32(0.0)
-        cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
-        cp.start()
-        cp.wait()
+        if not scaled:
+            cp = pltpu.make_async_copy(xv, X_out.at[lane], sems.at[2])
+            cp.start()
+            cp.wait()
+        else:
+            # x = x0 + sqrt(invd) * y, band-by-band (x0 re-streamed from
+            # the untouched X input, invd from the F pack row; only
+            # interior rows are emitted — unpad_field drops the ring).
+            # The same pass reconstructs the PLAIN final residual norm
+            # <r, r> = sum(r'^2 / invd) for report parity with PCG
+            # (iterations tracked the scaled <r', r'>; invd is clamped
+            # positive by depth_diag, and r' = 0 wherever the zero
+            # padding makes invd 0).
+            def epi(x0b, ivb, ob, isem, osem):
+                rr = jnp.float32(0.0)
+                for b in range(n_bands):
+                    sl_i = slice(b * TH + RING, b * TH + RING + TH)
+                    cp_x0 = pltpu.make_async_copy(
+                        X_hbm.at[lane, pl.ds(b * TH + RING, TH), :],
+                        x0b, isem.at[0])
+                    cp_iv = pltpu.make_async_copy(
+                        F_hbm.at[lane, IVDR, pl.ds(b * TH + RING, TH), :],
+                        ivb, isem.at[1])
+                    cp_x0.start()
+                    cp_iv.start()
+                    cp_x0.wait()
+                    cp_iv.wait()
+                    ob[...] = x0b[...] + jnp.sqrt(ivb[...]) * xv[sl_i, :]
+                    rp = rv[sl_i, :]
+                    rr = rr + jnp.sum(jnp.where(
+                        ivb[...] > 0.0, rp * rp / ivb[...], 0.0))
+                    cp_o = pltpu.make_async_copy(
+                        ob, X_out.at[lane, pl.ds(b * TH + RING, TH), :],
+                        osem)
+                    cp_o.start()
+                    cp_o.wait()
+                r1_ref[lane, 0] = rr
+
+            pl.run_scoped(
+                epi,
+                x0b=pltpu.VMEM((TH, X_hbm.shape[-1]), jnp.float32),
+                ivb=pltpu.VMEM((TH, X_hbm.shape[-1]), jnp.float32),
+                ob=pltpu.VMEM((TH, X_hbm.shape[-1]), jnp.float32),
+                isem=pltpu.SemaphoreType.DMA((2,)),
+                osem=pltpu.SemaphoreType.DMA(()),
+            )
 
 
 def _kernel_vmem_hybrid_stencil(consts_ref, X_hbm, F_hbm, R0_hbm, Z0U_hbm,
@@ -1305,12 +1402,20 @@ def cg_pallas_vmem_fromop_batched(
     ]
     extra_out_specs = []
     extra_out_shapes = []
+    # Jacobi rides the full_stencil mode as plain CG on the symmetrically
+    # scaled system (see _kernel_vmem_stencil's `scaled` doc): the
+    # preconditioner folds into the resident C planes at prologue time,
+    # so the iteration sweeps are EXACTLY the plain kernel's — the
+    # direct in-sweep jacobi form measured ~2.4x/iteration (r5 grid).
+    scaled = jacobi and mode == "full_stencil" and sf in (1, 2)
+    kernel_jacobi = jacobi and not scaled
     if mode == "full_stencil":
-        kern_fn = _kernel_vmem_stencil
+        kern_fn = functools.partial(_kernel_vmem_stencil, scaled=scaled)
         scratch = state + [
             pltpu.VMEM((N_STENCIL, hp2, wp), jnp.float32),  # C resident
         ] + ([pltpu.VMEM((hp2, wp), jnp.float32)] if sf == 4 else []) + (
-            [pltpu.VMEM((hp2, wp), jnp.float32)] if jacobi else []) + [
+            [pltpu.VMEM((hp2, wp), jnp.float32)] if kernel_jacobi
+            else []) + [
             pltpu.SMEM((1, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
@@ -1345,7 +1450,7 @@ def cg_pallas_vmem_fromop_batched(
         ]
     kernel = functools.partial(
         kern_fn, lam=lam, sf=sf, n_bands=geo.n_bands, th=geo.th,
-        jacobi=jacobi, track_e=with_energy)
+        jacobi=kernel_jacobi, track_e=with_energy)
     X_new, iters, r1, e_part, *_cscr = pl.pallas_call(
         kernel,
         grid=(B, max_iter + 3),

@@ -31,11 +31,10 @@ from srmeetsps_cuda_tpu.runtime.solver import prepare, _jit_solve_fused  # noqa:
 
 CONFIGS = [
     ("plain100", dict(jacobi_preconditioner=False, cg_max_iter=100)),
-    ("plain60", dict(jacobi_preconditioner=False, cg_max_iter=60)),
-    ("plain50", dict(jacobi_preconditioner=False, cg_max_iter=50)),
     ("plain40", dict(jacobi_preconditioner=False, cg_max_iter=40)),
-    ("plain30", dict(jacobi_preconditioner=False, cg_max_iter=30)),
-    ("jac15", dict(jacobi_preconditioner=True, cg_max_iter=15)),
+    ("jac30", dict(jacobi_preconditioner=True, cg_max_iter=30)),
+    ("jac25", dict(jacobi_preconditioner=True, cg_max_iter=25)),
+    ("jac20", dict(jacobi_preconditioner=True, cg_max_iter=20)),
 ]
 
 
