@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "Utilities.cpp MAT_FT_MAT73); mat5 = scipy v5")
     p.add_argument("--viz", action="store_true",
                    help="save PNG visualizations (replaces cv::imshow)")
+    p.add_argument("--show", action="store_true",
+                   help="live preview windows per outer iteration "
+                        "(reference cv::imshow parity: Normals-Initial / "
+                        "Normals-Current-Iteration / Albedo, SRPS.cu:319-"
+                        "327); needs a GUI cv2, auto-disables headless")
     p.add_argument("--dump-operators", action="store_true",
                    help="dump D/Dx/Dy/KT as ii/jj/kk triplet MAT files "
                    "(reference sparse golden channel)")
@@ -182,6 +187,7 @@ def main(argv=None) -> int:
         dump_dir=args.dump_dir,
         dump_format=args.dump_format,
         save_visualizations=args.viz,
+        live_view=args.show,
         metrics_jsonl=args.metrics_jsonl,
         resume_from=args.resume_from,
         dump_operators=args.dump_operators,

@@ -86,8 +86,11 @@ class SolverConfig:
     # the Mitten fixture; note the energy feeds the outer stopping rule,
     # so on a problem whose stop decision sits within ~5e-4 rel of the
     # boundary the outer iteration COUNT can differ from the
-    # kernel_energy=False trajectory — the bench asserts outer-iteration
-    # parity on its fixtures each round) and MEASURED FASTER: +0.42 ms/outer-iteration
+    # kernel_energy=False trajectory — full-solve outer-iteration parity
+    # is asserted on the realistic fixture each run, test_pallas_cg_vmem
+    # ::TestKernelEnergy::test_full_solve_outer_iteration_parity, and the
+    # bench reports per-config iteration counts so a hw flip is visible
+    # round-over-round) and MEASURED FASTER: +0.42 ms/outer-iteration
     # at cap-100 (tools/profile_kenergy.py, interleaved
     # order-alternating chained differencing; the harness's --null
     # self-calibration bounds its bias at 0.06 ms). An earlier literal
@@ -118,6 +121,9 @@ class RuntimeConfig:
     dump_format: str = "mat"  # "mat" (MAT 7.3 HDF5) | "mat5" | "npz"
     # Save PNG visualizations (replaces the reference's cv::imshow windows).
     save_visualizations: bool = False
+    # Live cv::imshow windows per outer iteration (SRPS.cu:319-327);
+    # requires a GUI-capable cv2 — auto-disables headless (io/liveview.py).
+    live_view: bool = False
     # Structured per-iteration metrics as JSONL (path or None).
     metrics_jsonl: Optional[str] = None
     # Resume from a checkpoint dumped by a previous run.

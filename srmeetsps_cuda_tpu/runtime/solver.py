@@ -197,8 +197,18 @@ def _solve_inner(data, cfg, rt, verbose):
         writers.save_visualizations(rt.dump_dir, state,
                                     np.asarray(prob.mask), tag="_init")
 
+    viewer = None
+    if rt.live_view:
+        # Live cv::imshow windows (SRPS.cu:319-327); headless environments
+        # auto-disable with a warning (io/liveview.py).
+        from ..io.liveview import LiveView
+
+        viewer = LiveView()
+        viewer.set_initial(state, np.asarray(prob.mask))
+
     if rt.fused_outer_loop:
-        per_iter_dumps = rt.dump_iterations or rt.save_visualizations
+        per_iter_dumps = (rt.dump_iterations or rt.save_visualizations
+                          or viewer is not None)
         t = Timer().start()
         if per_iter_dumps:
             # Trace-carrying variant: the reference dumps s/rho/z/N EVERY
@@ -238,7 +248,11 @@ def _solve_inner(data, cfg, rt, verbose):
                 if rt.save_visualizations:
                     writers.save_visualizations(rt.dump_dir, st_i, mask,
                                                 tag=f"_{i + 1:02d}")
+                if viewer is not None:
+                    viewer.show(st_i, mask)
         _write_outputs(final, prob, rt, metrics)
+        if viewer is not None:
+            viewer.finish()
         return final, metrics
 
     last_error = float(state.energy) if rt.resume_from else float("nan")
@@ -294,6 +308,8 @@ def _solve_inner(data, cfg, rt, verbose):
         if rt.save_visualizations:
             writers.save_visualizations(rt.dump_dir, state,
                                         np.asarray(prob.mask), tag=f"_{iteration:02d}")
+        if viewer is not None:
+            viewer.show(state, np.asarray(prob.mask))
         # Stopping rule — exact reference semantics (SRPS.cu:297-301).
         stop = (error > last_error) or (rel_err < cfg.tolerance) or (
             iteration > cfg.max_iterations)
@@ -303,6 +319,8 @@ def _solve_inner(data, cfg, rt, verbose):
             break
 
     _write_outputs(state, prob, rt, metrics)
+    if viewer is not None:
+        viewer.finish()
     return state, metrics
 
 

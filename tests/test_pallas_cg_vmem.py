@@ -485,6 +485,29 @@ class TestKernelEnergy:
         np.testing.assert_array_equal(np.asarray(z_on), np.asarray(z_off))
         np.testing.assert_allclose(float(e_on), float(e_off), rtol=5e-4)
 
+    def test_full_solve_outer_iteration_parity(self, rng):
+        """End-to-end fused solve, kernel_energy on vs off: the tracked
+        energy feeds the outer stopping rule (SRPS.cu:297-301), so its
+        ~5e-4 rel drift could in principle flip a near-boundary stop
+        (ADVICE r4). Assert the outer-iteration count and final energy
+        agree on the realistic fixture — the parity claim config.py
+        documents."""
+        from test_e2e import synthetic_data
+        from srmeetsps_cuda_tpu.config import RuntimeConfig
+        from srmeetsps_cuda_tpu.runtime.solver import solve
+
+        data, _ = synthetic_data(rng, h=32, w=32, sf=2)
+        base = dict(use_pallas=True, cg_max_iter=10, inpaint_iters=32,
+                    max_iterations=4)
+        finals = {}
+        for ke in (True, False):
+            finals[ke], _ = solve(
+                data, SolverConfig(**base, kernel_energy=ke),
+                RuntimeConfig(fused_outer_loop=True), verbose=False)
+        assert int(finals[True].iteration) == int(finals[False].iteration)
+        np.testing.assert_allclose(float(finals[True].energy),
+                                   float(finals[False].energy), rtol=5e-4)
+
     def test_batched_energy_matches_per_lane(self, rng):
         from srmeetsps_cuda_tpu.parallel import batched as pbat
 
