@@ -351,14 +351,31 @@ def energy_planes(masks, z0s, mask_shape, sf: int):
     return jnp.stack([pad_field(u1, geo), pad_field(u2, geo)])
 
 
+# Trace-time switch for the _stencil_w row addressing: True (default)
+# replaces the 6 sublane rolls with static row slices of the ring-banded
+# block — bit-identical values (rows R+di..R+di+th exist for di in
+# {-1,0,1} since RING >= 1 and the block has th + 2*RING rows), cheaper
+# Mosaic lowering: 13.6/13.9 vs 14.3/14.9 us/CG-iter over two
+# interleaved runs (tools/profile_sweepslice.py, marginal cap
+# differencing; hw solutions bit-identical). False restores the roll
+# form for measurement.
+SLICE_ROWS = True
+
+
 def _stencil_w(p, c, th: int):
     """``w = M p`` on one ring-banded block via the resident 9-point
-    stencil: 2 lane rolls + 6 sublane rolls + 9 multiply-adds — no mask
-    algebra, no tilesum, no lam multiply (all folded into ``c``)."""
+    stencil: 2 lane rolls + 6 static row reads + 9 multiply-adds — no
+    mask algebra, no tilesum, no lam multiply (all folded into ``c``)."""
     R = RING
     sl = slice(R, R + th)
     pe = _shift(p, 0, 1)
     pw = _shift(p, 0, -1)
+    if SLICE_ROWS:
+        row = lambda a, di: a[R + di:R + di + th]  # noqa: E731
+        return (c[0] * p[sl] + c[1] * pe[sl] + c[2] * pw[sl]
+                + c[3] * row(p, 1) + c[4] * row(p, -1)
+                + c[5] * row(pe, 1) + c[6] * row(pe, -1)
+                + c[7] * row(pw, 1) + c[8] * row(pw, -1))
     return (c[0] * p[sl] + c[1] * pe[sl] + c[2] * pw[sl]
             + c[3] * _shift(p, 1, 0)[sl] + c[4] * _shift(p, -1, 0)[sl]
             + c[5] * _shift(pe, 1, 0)[sl] + c[6] * _shift(pe, -1, 0)[sl]
