@@ -525,16 +525,21 @@ def device_metrics(prob, state, sf, cfg, prefix="", light=False):
     np.asarray(st.z)
 
     def marginal(f, n_lo=4, n_hi=24, reps=5):
-        out = {}
+        # INTERLEAVED difference-of-bests: the chip's effective rate
+        # drifts tens of % over minutes through the tunnel, so timing all
+        # reps of one chain length and then all of the other can invert
+        # the marginal (a NEGATIVE ms_per_cg_iter shipped from exactly
+        # that structure in an r5 pre-run). Alternate lengths within each
+        # rep so drift hits both equally (CLAUDE.md measurement rules).
         for n in (n_lo, n_hi):
             np.asarray(jnp.sum(f(n)))  # compile + warm
-            best = 1e9
-            for _ in range(reps):
+        best = {n_lo: 1e9, n_hi: 1e9}
+        for _ in range(reps):
+            for n in (n_lo, n_hi):
                 t0 = time.perf_counter()
                 np.asarray(jnp.sum(f(n)))
-                best = min(best, time.perf_counter() - t0)
-            out[n] = best
-        return (out[n_hi] - out[n_lo]) / (n_hi - n_lo)
+                best[n] = min(best[n], time.perf_counter() - t0)
+        return (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
 
     # ms per full outer iteration (lighting+albedo+depth CG+normals).
     def outer_loop(n, carry, prob):
@@ -562,26 +567,29 @@ def device_metrics(prob, state, sf, cfg, prefix="", light=False):
         rhs = srps.depth_rhs(op, prob, sf, cfg.lam)
         b_res = rhs - srps.depth_matvec(st.z, op, prob, sf, cfg.lam)
 
-        def cg_call(mi):
-            f = jax.jit(functools.partial(
+        fns = {}
+        for mi in (400, 100):
+            fns[mi] = jax.jit(functools.partial(
                 cg_pallas_pipelined, sf=sf, lam=cfg.lam, tol=1e-30,
                 max_iter=mi))
-            np.asarray(f(st.z, b_res, op, prob.gm, ktw)[0])
-            best = 1e9
-            for _ in range(5):
+            np.asarray(fns[mi](st.z, b_res, op, prob.gm, ktw)[0])
+        best = {400: 1e9, 100: 1e9}
+        for _ in range(5):  # interleaved (see marginal())
+            for mi in (400, 100):
                 t0 = time.perf_counter()
-                x, k, r1 = f(st.z, b_res, op, prob.gm, ktw)
+                x, k, r1 = fns[mi](st.z, b_res, op, prob.gm, ktw)
                 np.asarray(x.sum())
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        s_per_iter = (cg_call(400) - cg_call(100)) / 300
+                best[mi] = min(best[mi], time.perf_counter() - t0)
+        s_per_iter = (best[400] - best[100]) / 300
 
     # Production CG route (VMEM-resident when the grid fits): the number
     # the fused solve actually pays per CG iteration.
     from srmeetsps_cuda_tpu.solve import pallas_cg_vmem as _pvm
 
     s_per_iter_prod = None
+    out_err = None
+    if s_per_iter is not None and s_per_iter <= 0:
+        s_per_iter = None  # drift-inverted streaming marginal: omit
     if _pvm.supported_vmem(h_z := st.z.shape[0], w_z := st.z.shape[1], sf):
         # Chain N=8 kernel calls per sample: at the stencil kernel's
         # ~15 us/iter a single 100-vs-25 cap difference is ~1 ms — smaller
@@ -598,25 +606,39 @@ def device_metrics(prob, state, sf, cfg, prefix="", light=False):
 
         f_chain = jax.jit(cg_vmem_chain, static_argnums=(0, 6))
 
-        def cg_vmem_call(mi, n_calls=(4 if light else 8), reps=(3 if light
-                                                                else 5)):
-            z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t, mi)
-            np.asarray(z)  # compile + warm
-            best = 1e9
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t,
-                               mi)
-                np.asarray(jnp.sum(z))
-                best = min(best, time.perf_counter() - t0)
-            return best, int(np.asarray(k))
-
+        n_calls = 4 if light else 8
+        reps = 3 if light else 5
         # caps 100/25 (the production regime): at cap 400 the f32 residual
         # can underflow to exact 0 late in the solve and the kernel's
         # predicated skip would understate the per-iteration cost
-        t_hi, k_hi = cg_vmem_call(100 if not light else 50)
-        t_lo, k_lo = cg_vmem_call(25 if not light else 15)
-        s_per_iter_prod = (t_hi - t_lo) / (k_hi - k_lo)
+        mi_hi, mi_lo = (50, 15) if light else (100, 25)
+
+        def timed_chain(mi):
+            t0 = time.perf_counter()
+            z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t, mi)
+            np.asarray(jnp.sum(z))
+            return time.perf_counter() - t0, int(np.asarray(k))
+
+        def measure_prod():
+            best, counts = {}, {}
+            for mi in (mi_hi, mi_lo):
+                z, k = f_chain(n_calls, st.z, op, prob.gm, ktw, prob.z0t,
+                               mi)
+                np.asarray(z)  # compile + warm
+            for _ in range(reps):  # interleaved (see marginal())
+                for mi in (mi_hi, mi_lo):
+                    t, k = timed_chain(mi)
+                    best[mi] = min(best.get(mi, 1e9), t)
+                    counts[mi] = k
+            return (best[mi_hi] - best[mi_lo]) / (counts[mi_hi]
+                                                  - counts[mi_lo])
+
+        s_per_iter_prod = measure_prod()
+        if s_per_iter_prod <= 0:   # drift swamped the signal — retry once
+            s_per_iter_prod = measure_prod()
+        if s_per_iter_prod <= 0:   # still inverted: omit rather than ship
+            out_err = "drift-inverted marginal after retry"
+            s_per_iter_prod = None
 
     # Bytes model of one pipelined CG iteration (see pallas_cg_pipe._kernel):
     # phase 0 reads (r, p, 8 packed F rows) x TB-row bands and writes
@@ -640,6 +662,8 @@ def device_metrics(prob, state, sf, cfg, prefix="", light=False):
     elif s_per_iter is not None:
         out[f"{prefix}ms_per_cg_iter"] = out[
             f"{prefix}ms_per_cg_iter_streaming"]
+    if out_err:
+        out[f"{prefix}cg_iter_measure_error"] = out_err
     # PCG matvec GFLOP/s against the production per-iteration time: the
     # matvec is the 9-point spatially-varying stencil (9 mul + 9 add per
     # grid pixel = 2 flops/nnz SpMV-equivalent); sf=4 applies KT^T KT as
